@@ -1,0 +1,496 @@
+"""The BSP crawl engine: one wave = a handful of pure batch Spark jobs.
+
+Spark-first re-expression of the reference crawl loop (SURVEY.md §3.2):
+the per-URL imperative pipeline /root/reference/src/crawler.go:116-188
+becomes, per wave:
+
+  frontier snapshot
+    -> anti-join seen                       (F3/J1; src/crawler.go:190-192)
+    -> robots TTL refetch + broadcast join + vectorized matcher
+                                            (S4/S5/F5/C9; src/crawler.go:222-254)
+    -> per-host politeness top-k, salted    (F4; src/crawler.go:194-199 intended)
+    -> global wave cap + deterministic seq  (cap 100k; src/crawler.go:42)
+    -> fetch-sim join vs pages              (S3; src/utils/utils.go:22-45)
+    -> status/content-type filter           (F7; src/crawler.go:256-282)
+    -> parse UDF: children+images+metadata  (C1-C6; src/parsers/html.go)
+    -> explode children -> canonicalize -> dedup -> next frontier
+                                            (F1/F2/F6/J4; src/utils/utils.go:161-197)
+    -> explode images -> decode+phash -> store delta (first-wins MERGE)
+                                            (C10/K1; src/db/db.go:46-69)
+    -> commit wave snapshot (lineage manifest = atomic resume point)
+
+All Python crossings are Arrow-vectorized pandas UDFs; everything else is
+native Catalyst expressions (whole-stage codegen). State equality against
+the pure-Python oracle (grawler.oracle) is the correctness contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import codecs, schemas
+from .conf import CrawlConfig, DEFAULT
+from .robots import make_agent_allowed_udf
+from .scheduler import schedule_wave
+from .store import LocalSnapshotStore
+from .urlnorm import allow_predicate, canonicalize_udf
+
+FRONTIER_COLS = ["url", "parent_url", "host", "depth", "priority", "wave"]
+
+IMG_ID_PATTERN = r"/img/(img-\d{6}-\d+)\."
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("child_urls", ArrayType(StringType())),
+        StructField(
+            "images",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("src", StringType()),
+                        StructField("caption", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("site_name", StringType()),
+        StructField("icon", StringType()),
+    ]
+)
+
+
+@pandas_udf(DOC_SCHEMA)
+def parse_doc_udf(
+    html: pd.Series, base_url: pd.Series, host: pd.Series, ctype: pd.Series
+) -> pd.DataFrame:
+    # import inside the UDF: executed on workers
+    from .htmlparse import parse_html
+
+    rows = []
+    for h, b, ho, ct in zip(html, base_url, host, ctype):
+        if ct == "text/html":
+            d = parse_html(h, b, ho)
+            rows.append(
+                (
+                    d["child_urls"],
+                    [(i["src"], i["caption"]) for i in d["images"]],
+                    d["title"], d["description"], d["site_name"], d["icon"],
+                )
+            )
+        else:
+            rows.append(([], [], None, None, ho, None))
+    return pd.DataFrame(
+        rows,
+        columns=["child_urls", "images", "title", "description",
+                 "site_name", "icon"],
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("phash", LongType()),
+        StructField("dec_w", IntegerType()),
+        StructField("dec_h", IntegerType()),
+        StructField("ok", BooleanType()),
+    ]
+)
+
+
+@pandas_udf(PHASH_SCHEMA)
+def decode_phash_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b, f in zip(data, fmt):
+        try:
+            px = codecs.decode(bytes(b), f)
+            rows.append(
+                (codecs.phash64(px), px.shape[1], px.shape[0], True)
+            )
+        except Exception:
+            rows.append((None, None, None, False))
+    return pd.DataFrame(rows, columns=["phash", "dec_w", "dec_h", "ok"])
+
+
+@dataclass
+class CrawlResult:
+    waves: int
+    state: LocalSnapshotStore
+
+    def trace(self) -> DataFrame | None:
+        return self.state.read("trace")
+
+    def seen(self) -> DataFrame | None:
+        return self.state.read("seen")
+
+    def store(self) -> DataFrame | None:
+        return self.state.read("store")
+
+    def frontier(self) -> DataFrame | None:
+        return self.state.read("frontier")
+
+    def metrics(self) -> DataFrame | None:
+        return self.state.read("metrics")
+
+
+class CrawlEngine:
+    """Drives the wave loop over DataFrame-native crawl state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots_truth: DataFrame,
+        images: DataFrame,
+        warehouse: str,
+        cfg: CrawlConfig = DEFAULT,
+        robots_cache_init: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.state = LocalSnapshotStore(spark, warehouse)
+        self.agent_allowed = make_agent_allowed_udf(cfg.user_agent)
+        self.robots_cache_init = robots_cache_init
+        # static inputs, reused every wave
+        self.pages = pages.select(
+            "url", "status", "content_type", "fetch_latency_ms", "html"
+        ).persist()
+        self.robots_truth = robots_truth.select("host", "robots_txt").persist()
+        self.images = images.persist()
+
+    # ----------------------------------------------------------- helpers
+
+    def _wave_ts(self, wave: int) -> dt.datetime:
+        return dt.datetime.fromtimestamp(
+            self.cfg.clock_origin_s + wave * self.cfg.wave_duration_ms / 1000.0,
+            tz=dt.timezone.utc,
+        )
+
+    def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        c = canonicalize_udf(F.col("url"), F.lit(None).cast("string"))
+        canon = (
+            seeds.withColumn("_c", c)
+            .select(
+                F.col("_c.url").alias("url"),
+                F.lit("").alias("parent_url"),
+                F.col("_c.host").alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("priority"),
+                F.lit(0).alias("wave"),
+                F.col("_c.scheme").alias("scheme"),
+                F.col("_c.path").alias("path"),
+                (F.col("_c.valid") == "1").alias("url_valid"),
+            )
+        )
+        return (
+            canon.where(
+                allow_predicate(
+                    self.cfg.allowed_schemes, self.cfg.blocked_paths
+                )
+            )
+            .dropDuplicates(["url"])
+            .select(*FRONTIER_COLS)
+        )
+
+    # ----------------------------------------------------------- the wave
+
+    def run_wave(
+        self, wave: int, frontier: DataFrame, seen: DataFrame,
+        robots_cache: DataFrame,
+    ) -> dict:
+        cfg, spark = self.cfg, self.spark
+        ts = self._wave_ts(wave)
+        stale_before = ts - dt.timedelta(days=cfg.robots_ttl_days)
+        persisted: list[DataFrame] = []
+
+        # 1. F3/J1 — exact dedup vs seen (bloom prefilter added in engine v2)
+        cand = frontier.join(seen.select("url"), "url", "left_anti")
+
+        # 2. robots: TTL refetch for hosts in play (S4/S5/C9/K3)
+        hosts = cand.select("host").distinct()
+        joined = hosts.join(robots_cache, "host", "left")
+        stale = joined.where(
+            F.col("robots_txt").isNull()
+            | (F.col("fetched_ts") < F.lit(stale_before))
+        ).select("host")
+        refreshed = (
+            stale.join(self.robots_truth, "host", "left")
+            .select(
+                "host",
+                F.coalesce("robots_txt", F.lit("")).alias("robots_txt"),
+                F.lit(ts).alias("fetched_ts"),
+            )
+        )
+        new_cache = (
+            robots_cache.join(refreshed.select("host"), "host", "left_anti")
+            .unionByName(refreshed)
+            .persist()  # small (one row per host), reused twice below
+        )
+        persisted.append(new_cache)
+
+        # 3. F5 — robots predicate (broadcast join on host + vectorized matcher)
+        with_rob = cand.join(
+            F.broadcast(new_cache.select("host", "robots_txt")), "host", "left"
+        ).withColumn(
+            "rpath",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        )
+        allowed = with_rob.where(
+            self.agent_allowed(
+                F.coalesce("robots_txt", F.lit("")), F.col("rpath")
+            )
+        ).select(*FRONTIER_COLS)
+
+        # 4. F4 + wave cap — politeness top-k (salted) + global sequence
+        scheduled, deferred = schedule_wave(
+            allowed,
+            cfg.host_tokens_per_wave,
+            cfg.wave_cap,
+            salt_buckets=cfg.salt_buckets,
+            registry=persisted,
+        )
+        scheduled = scheduled.persist()
+        deferred = deferred.persist()
+        persisted.extend([scheduled, deferred])
+        n_scheduled = scheduled.count()
+
+        trace = scheduled.select(
+            F.lit(wave).alias("wave"),
+            F.col("seq").cast("int").alias("seq"),
+            "url", "host", "depth",
+        )
+
+        # 5. S3 — fetch-sim: explicit host-hash repartition defuses hot-host
+        # fan-in, then join the synthetic web (the deployment target swaps
+        # this join for a batched HTTP mapInPandas fetcher)
+        to_fetch = scheduled.repartition(F.xxhash64("host"))
+        fetched = to_fetch.join(self.pages, "url", "left").withColumn(
+            "ctype",
+            F.lower(F.trim(F.split_part(F.col("content_type"), F.lit(";"), F.lit(1)))),
+        )
+        ok = fetched.where(
+            F.col("status").isNotNull()
+            & (F.col("status") <= cfg.http_error_threshold)
+        )
+        good = ok.where(F.col("ctype").isin(*cfg.allowed_content_types))
+
+        # 6. C1-C6 — parse (one Arrow pass per batch)
+        parsed = (
+            good.withColumn(
+                "base_url", F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+            )
+            .withColumn(
+                "doc",
+                parse_doc_udf(
+                    F.col("html"), F.col("base_url"), F.col("host"),
+                    F.col("ctype"),
+                ),
+            )
+            .select("url", "host", "depth", "priority", "seq", "base_url",
+                    "doc", "fetch_latency_ms")
+            .persist()
+        )
+        persisted.append(parsed)
+
+        seen_delta = parsed.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            F.lit(wave).alias("first_wave"),
+        )
+        seen_all = seen.select("url").unionByName(seen_delta.select("url"))
+
+        # 7. F1/F2/F6/J4 — children: explode, canonicalize, filter, dedup
+        kids = (
+            parsed.where(F.col("depth") + 1 <= cfg.max_depth)
+            .select(
+                F.col("url").alias("parent_url"),
+                (F.col("depth") + 1).alias("depth"),
+                "seq", "base_url",
+                F.posexplode("doc.child_urls").alias("pos", "href"),
+            )
+            .withColumn("_c", canonicalize_udf(F.col("href"), F.col("base_url")))
+            .select(
+                F.col("_c.url").alias("url"),
+                "parent_url",
+                F.col("_c.host").alias("host"),
+                "depth",
+                F.lit(0).alias("priority"),
+                F.lit(wave + 1).alias("wave"),
+                F.col("_c.scheme").alias("scheme"),
+                F.col("_c.path").alias("path"),
+                (F.col("_c.valid") == "1").alias("url_valid"),
+                "seq", "pos",
+            )
+            .where(allow_predicate(cfg.allowed_schemes, cfg.blocked_paths))
+        )
+        w_first = Window.partitionBy("url").orderBy("seq", "pos")
+        new_children = (
+            kids.withColumn("_rn", F.row_number().over(w_first))
+            .where(F.col("_rn") == 1)
+            .select(*FRONTIER_COLS)
+            .join(seen_all, "url", "left_anti")
+            .join(deferred.select("url"), "url", "left_anti")
+        )
+        next_frontier = deferred.unionByName(new_children)
+
+        # 8. C10/K1 — images: explode, id-extract, dedup, decode+phash, MERGE
+        imgs = (
+            parsed.select(
+                "seq",
+                F.posexplode("doc.images").alias("pos", "img"),
+            )
+            .select(
+                F.regexp_extract(F.col("img.src"), IMG_ID_PATTERN, 1).alias(
+                    "image_id"
+                ),
+                F.col("img.caption").alias("html_caption"),
+                "seq", "pos",
+            )
+            .where(F.col("image_id") != "")
+        )
+        w_img = Window.partitionBy("image_id").orderBy("seq", "pos")
+        img_first = (
+            imgs.withColumn("_rn", F.row_number().over(w_img))
+            .where(F.col("_rn") == 1)
+            .select("image_id", "html_caption")
+        )
+        store_rows = (
+            img_first.join(self.images, "image_id", "inner")
+            .withColumn("ph", decode_phash_udf(F.col("bytes"), F.col("fmt")))
+            .where(F.col("ph.ok"))
+            .select(
+                "image_id", "bytes", "w", "h", "fmt",
+                F.coalesce("html_caption", "caption").alias("caption"),
+                F.col("ph.phash").alias("phash"),
+            )
+        )
+        existing = self.state.read("store")
+        if existing is not None:
+            store_delta = store_rows.join(
+                existing.select("image_id"), "image_id", "left_anti"
+            )
+        else:
+            store_delta = store_rows
+
+        # 9. metrics per partition (north_rule: fetch/parse/dedup metrics)
+        metrics = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.count(
+                    F.when(F.col("status") <= cfg.http_error_threshold, 1)
+                ).alias("fetched"),
+                F.count(
+                    F.when(
+                        (F.col("status") <= cfg.http_error_threshold)
+                        & F.col("ctype").isin(*cfg.allowed_content_types),
+                        1,
+                    )
+                ).alias("parsed"),
+                F.sum(F.coalesce("fetch_latency_ms", F.lit(0))).alias("wall_ms"),
+                F.count(F.when(F.col("status").isNull()
+                               | (F.col("status") > cfg.http_error_threshold),
+                               1)).alias("errors"),
+            )
+            .select(
+                F.lit(wave).alias("wave"),
+                "partition_id",
+                F.col("scheduled").cast("long"),
+                F.col("fetched").cast("long"),
+                F.col("parsed").cast("long"),
+                F.lit(0).cast("long").alias("deduped"),
+                F.lit(0).cast("long").alias("stored"),
+                F.col("errors").cast("long"),
+                F.col("wall_ms").cast("long"),
+            )
+        )
+
+        # 10. wave-atomic commit (lineage manifest last)
+        manifest = self.state.commit_wave(
+            wave,
+            {
+                "trace": trace,
+                "seen": seen_delta,
+                "store": store_delta,
+                "frontier": next_frontier,
+                "robots_cache": new_cache,
+                "metrics": metrics,
+            },
+        )
+        for df in persisted:
+            df.unpersist()
+        manifest["n_scheduled"] = n_scheduled
+        return manifest
+
+    # ----------------------------------------------------------- the loop
+
+    def run(
+        self,
+        seeds: DataFrame,
+        max_waves: int | None = None,
+        resume: bool = False,
+    ) -> CrawlResult:
+        cfg, spark = self.cfg, self.spark
+        max_waves = max_waves if max_waves is not None else cfg.max_waves
+
+        last = self.state.last_wave() if resume else None
+        if last is not None:
+            start = last + 1
+            frontier = self.state.read("frontier")
+            seen = self.state.read("seen").select("url")
+            robots_cache = self.state.read("robots_cache")
+        else:
+            start = 0
+            frontier = self._seed_frontier(seeds)
+            seen = spark.createDataFrame([], "url string")
+            robots_cache = (
+                self.robots_cache_init
+                if self.robots_cache_init is not None
+                else spark.createDataFrame([], schemas.ROBOTS)
+            )
+
+        waves = start
+        for wave in range(start, max_waves):
+            if frontier.isEmpty():
+                break
+            m = self.run_wave(wave, frontier, seen, robots_cache)
+            waves = wave + 1
+            if m["n_scheduled"] == 0:
+                break
+            frontier = self.state.read("frontier")
+            seen = self.state.read("seen").select("url")
+            robots_cache = self.state.read("robots_cache")
+        return CrawlResult(waves=waves, state=self.state)
+
+
+def build_engine(spark, web, warehouse: str, cfg: CrawlConfig = DEFAULT,
+                 seed_robots_cache: bool = True):
+    """Wire a CrawlEngine from a SynthWeb (tests / bench).
+
+    Returns (engine, seeds_df). The oracle pre-seeds its robots cache with
+    the fixture robots table (fresh/stale ts mix, FIXTURES.md §3); passing
+    seed_robots_cache=True mirrors that.
+    """
+    from .synthgen import spark_tables
+
+    seeds, pages, robots, images = spark_tables(spark, web)
+    eng = CrawlEngine(
+        spark, pages, robots, images, warehouse, cfg,
+        robots_cache_init=robots if seed_robots_cache else None,
+    )
+    return eng, seeds

@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (array<float>).
+
+  cosine_topk      brute-force cosine top-k per query — the exactness
+                   baseline; dot product via native zip_with/aggregate
+                   (JVM-side, no Python in the hot path)
+  ann_lsh_topk     sign-LSH (random hyperplanes) bucketed ANN — the scale
+                   path: candidates share >=1 of `tables` bucket keys, so
+                   the cross join shrinks from |Q|x|N| to bucket-local
+  embedding_neardup  pairs with cosine >= threshold via the same buckets
+
+Hyperplanes are generated driver-side (seeded numpy) and folded into native
+expressions, so signatures are computed without Python workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_cosine(df: DataFrame, a: str = "emb_a", b: str = "emb_b",
+                out: str = "cosine") -> DataFrame:
+    return df.withColumn(
+        out,
+        _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b))),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force baseline).
+
+    (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        q.crossJoin(n)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("nv"))
+            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def _signature_expr(vec_col, planes: np.ndarray):
+    """Native expression: sign-bit signature for one table's hyperplanes."""
+    bits = []
+    for plane in planes:
+        dot = sum(
+            F.element_at(F.col(vec_col), i + 1) * float(w)
+            for i, w in enumerate(plane)
+            if w != 0.0
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = F.lit(0)
+    for b in bits:
+        sig = sig * 2 + b
+    return sig
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """(.., bucket_table, bucket_sig) exploded — one row per LSH table."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    sigs = F.array(*[_signature_expr(vec_col, planes[t]) for t in range(tables)])
+    return df.select(
+        "*", F.posexplode(sigs).alias("bucket_table", "bucket_sig")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >=1 table,
+    re-ranked by exact cosine. Recall rises with `tables`."""
+    nb = with_lsh_buckets(
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv")),
+        dim, "nv", bits, tables, seed,
+    )
+    qb = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")),
+        dim, "qv", bits, tables, seed,
+    )
+    cand = (
+        qb.join(nb, ["bucket_table", "bucket_sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("nv"))
+        / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (id_a < id_b)."""
+    b = with_lsh_buckets(
+        embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v")),
+        dim, "v", bits, tables, seed,
+    )
+    cand = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            on=[
+                F.col("l.bucket_table") == F.col("r.bucket_table"),
+                F.col("l.bucket_sig") == F.col("r.bucket_sig"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("l.v").alias("va"),
+            F.col("r.id").alias("id_b"), F.col("r.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,141 @@
+"""Scheduling operators: deterministic global sequence, per-host politeness
+top-k with skew salting, wave cap (SURVEY.md §2.5).
+
+The reference's ordering is emergent FIFO from a shared MPMC queue drained by
+20 goroutines (/root/reference/src/crawler.go:28,96-113); its 700 ms per-host
+gate is a latent no-op (src/crawler.go:194-199). The engine makes both
+explicit and deterministic:
+
+  - politeness: per-host top-k by (depth, priority, url) — k tokens per wave
+    (token bucket: wave_duration_ms / politeness_budget_ms). Overflow rows
+    are DEFERRED (stay in the frontier), mirroring the reference's
+    re-enqueue (src/crawler.go:196).
+  - wave cap: global top-N by (depth, priority, host, url) — the analogue of
+    the queue capacity 100_000 (src/crawler.go:42), but deferring instead of
+    dropping (src/utils/utils.go:191-194 silently drops; we do not lose data).
+  - global sequence: scale-friendly two-phase rank (range partition + per-
+    partition offsets), not a single-partition window — the classic
+    bottleneck at 10^10 rows.
+
+Skew: per-host top-k is computed salted-first (local top-k per (host, salt),
+then exact top-k on the reduced union), so one mega-host cannot serialize a
+single task (north_rule: skew handled explicitly).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import LongType, StructField, StructType
+
+POLITE_ORDER = ("depth", "priority", "url")
+WAVE_ORDER = ("depth", "priority", "host", "url")
+
+
+def per_host_topk(
+    df: DataFrame,
+    k: int,
+    salt_buckets: int = 16,
+    rank_col: str = "hrank",
+) -> DataFrame:
+    """Rank rows within each host by POLITE_ORDER; rank <= k are scheduled.
+
+    Two-phase: a salted local top-k prunes each (host, salt) group to k rows
+    (correct superset of the global per-host top-k), then the exact window
+    runs on the reduced set — the final shuffle moves at most
+    salt_buckets * k rows per host regardless of host skew.
+    Returns df + rank_col (1-based).
+    """
+    order = [F.col(c) for c in POLITE_ORDER]
+    if salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+        )
+        w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+        pruned = (
+            salted.withColumn("_lr", F.row_number().over(w_local))
+            .where(F.col("_lr") <= k)
+            .drop("_lr", "_salt")
+        )
+    else:
+        pruned = df
+    w = Window.partitionBy("host").orderBy(*order)
+    return pruned.withColumn(rank_col, F.row_number().over(w))
+
+
+def global_sequence(
+    df: DataFrame, order_cols=WAVE_ORDER, seq_col: str = "seq",
+    registry: list | None = None,
+) -> DataFrame:
+    """Deterministic 0-based global sequence in sort order, without a
+    single-partition window.
+
+    Phase 1: range-partition + sort by order_cols, persist (fixes the range
+    bounds). Phase 2: per-partition counts (tiny collect: one row per
+    partition) -> cumulative offsets -> mapInPandas adds offset + local index.
+    """
+    spark = df.sparkSession
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if registry is not None:
+        registry.append(d)  # caller unpersists after the wave materializes
+    counts = {r["_pid"]: r["cnt"] for r in
+              d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        [f for f in d.schema.fields if f.name != "_pid"]
+        + [StructField(seq_col, LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            off = b_offsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[seq_col] = range(off + local, off + local + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    out = d.mapInPandas(assign, schema=out_schema)
+    return out
+
+
+def schedule_wave(
+    frontier: DataFrame,
+    host_tokens: int,
+    wave_cap: int,
+    salt_buckets: int = 16,
+    registry: list | None = None,
+):
+    """Politeness + wave cap. Returns (scheduled_with_seq, deferred).
+
+    deferred keeps the original frontier columns and stays pending.
+    """
+    cols = frontier.columns
+    ranked = per_host_topk(frontier, host_tokens, salt_buckets=salt_buckets)
+    polite = ranked.where(F.col("hrank") <= host_tokens).drop("hrank")
+    # politeness overflow = frontier rows NOT in polite (salted prune makes
+    # the deferred set cheapest to compute as an anti-join on url)
+    deferred_polite = frontier.join(
+        polite.select("url"), on="url", how="left_anti"
+    ).select(*cols)
+
+    seq = global_sequence(polite.select(*cols), WAVE_ORDER, "seq",
+                          registry=registry)
+    scheduled = seq.where(F.col("seq") < wave_cap)
+    over_cap = seq.where(F.col("seq") >= wave_cap).select(*cols)
+    deferred = deferred_polite.unionByName(over_cap)
+    return scheduled, deferred

@@ -1,38 +1,627 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Operator surface of the grawler engine (SURVEY.md §2) + the training-data
+pipeline operators, expressed over the driver testdata tables where a DuckDB
+oracle can check them, and over the in-repo deterministic synthetic web for
+the crawl-domain end-to-end entries (those are rows-only here; their strong
+oracle is the pure-Python simulator exercised by tests/test_engine_golden.py).
+
+Naming convention: keys are prefixed by the SURVEY.md §2 operator ids they
+exercise (f*=filters, j*=joins, a*=aggregations, w*=window/topk,
+dedup_*/sim_*/text_* = training-data ops, crawl_*/img_* = crawl domain).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+_T = {}  # (sf_dir, name) -> cached DataFrame reader
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# shared builders (url fixture derived deterministically from documents)
+# --------------------------------------------------------------------------
+
+_URL_RE = r"^([a-z]+)://([^/?#]+)([^?#]*)"
+
+
+def _doc_urls(spark, sf_dir):
+    """Deterministic URL fixture: scheme varies by doc_id % 3."""
+    d = _read(spark, sf_dir, "documents")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("ftp"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/robots.txt"))
+        .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id")))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), F.col("source"), F.lit(".example"),
+                 path).alias("url"),
+    )
+
+
+_DOC_URLS_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'http'
+                 WHEN doc_id % 3 = 1 THEN 'https' ELSE 'ftp' END)
+           || '://' || source || '.example'
+           || (CASE WHEN doc_id % 7 = 0 THEN '/robots.txt'
+                    ELSE '/doc/' || doc_id END) AS url
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# crawl-operator queries (SQL-checkable over testdata)
+# --------------------------------------------------------------------------
+
+def q_f1_url_components(spark, sf_dir):
+    """F1: url -> (scheme, host, path); reference src/utils/utils.go:47-53."""
+    u = _doc_urls(spark, sf_dir)
+    return u.select(
+        "doc_id", "url",
+        F.regexp_extract("url", _URL_RE, 1).alias("scheme"),
+        F.regexp_extract("url", _URL_RE, 2).alias("host"),
+        F.regexp_extract("url", _URL_RE, 3).alias("path"),
+    )
+
+
+def q_f2_allowlist(spark, sf_dir):
+    """F2: scheme in {http,https} and path != /robots.txt
+    (reference src/crawler.go:204-220)."""
+    c = q_f1_url_components(spark, sf_dir)
+    return c.where(
+        F.col("scheme").isin("http", "https")
+        & (F.col("path") != "/robots.txt")
+    ).select("doc_id", "url", "host")
+
+
+def q_f3_seen_antijoin(spark, sf_dir):
+    """F3/J1: URL-seen anti-join shape (reference src/crawler.go:190-192):
+    orders with no lineitem = frontier minus seen."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return o.join(li.select("l_orderkey"),
+                  o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_f4_politeness_topk(spark, sf_dir):
+    """F4: per-host politeness top-k (intended semantics of
+    src/crawler.go:194-199): first 3 events per user by (ts, event_id)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_f6_child_normalize(spark, sf_dir):
+    """F6: child-URL normalize (src/utils/utils.go:161-183): relative ->
+    base+path; fragment-only and query-only hrefs dropped."""
+    d = _read(spark, sf_dir, "documents")
+    href = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/doc/"),
+                                                  F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example/doc/"), F.col("doc_id"),
+                       F.lit("#frag")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#top"))
+        .otherwise(F.lit("?sort=asc"))
+    )
+    base = F.concat(F.lit("http://"), F.col("source"), F.lit(".example"))
+    canon = (
+        F.when(href.startswith("#") | href.startswith("?"),
+               F.lit(None).cast("string"))
+        .when(href.startswith("/"), F.concat(base, href))
+        .otherwise(F.regexp_replace(href, r"#.*$", ""))
+    )
+    return d.select("doc_id", canon.alias("url")).where(F.col("url").isNotNull())
+
+
+def q_f7_content_filter(spark, sf_dir):
+    """F7: response filter (src/crawler.go:256-282): keep allowed 'types',
+    drop error 'statuses' (event_type allowlist + value ceiling)."""
+    e = _read(spark, sf_dir, "events")
+    return e.where(
+        F.lower(F.trim(F.col("event_type"))).isin("click", "view", "purchase")
+        & (F.col("value") <= 400.0)
+    ).select("event_id", "user_id", "event_type")
+
+
+def q_j2_robots_broadcast(spark, sf_dir):
+    """J2: broadcast dimension join (robots-by-host shape,
+    src/db/db.go:85): customer x nation x region rollup."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+    )
+
+
+def q_a1_word_freq(spark, sf_dir):
+    """A1: per-document word frequency (src/parsers/text.go:16-29)."""
+    from grawler.operators.textstats import word_freq
+
+    return word_freq(_read(spark, sf_dir, "documents"))
+
+
+def q_a3_host_accounting(spark, sf_dir):
+    """A3: per-host fetch accounting (src/crawler.go:194 intended):
+    per-user event rollup."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+def q_a4_wave_metrics(spark, sf_dir):
+    """A4: wave metrics rollup shape (pricing-summary style aggregation)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_w2_wave_cap_topk(spark, sf_dir):
+    """Wave-cap global top-k (queue capacity analogue, src/crawler.go:42):
+    top-100 orders by (priority, date, key) — distributed TakeOrdered."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from grawler.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard pairs >= 0.5 on a bounded slice."""
+    from grawler.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (rows-only check here; the banding math
+    is pytest-verified against numpy in tests/test_dedup.py)."""
+    from grawler.operators.dedup import minhash_lsh_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from grawler.operators.dedup import simhash_pairs
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.4) on a bounded slice —
+    brute force so DuckDB can oracle it; the LSH scale path is q_sim_ann_lsh."""
+    e = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0),
+                                       lambda acc, x: acc + x * x))  # noqa: E731
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 query vectors (exactness baseline)."""
+    from grawler.operators.similarity import cosine_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("embedding"))
+    q = ed.where(F.col("vec_id") < 8)
+    return cosine_topk(ed, q, k=5).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-5 (scale path; rows-only — approximate by
+    design, recall vs brute force asserted in tests/test_similarity.py)."""
+    from grawler.operators.similarity import ann_lsh_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("embedding"))
+    q = ed.where(F.col("vec_id") < 8)
+    return ann_lsh_topk(ed, q, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+
+def q_text_token_count(spark, sf_dir):
+    from grawler.operators.textstats import token_count
+
+    return token_count(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_bpe_est",
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from grawler.operators.textstats import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    from grawler.operators.textstats import langid
+
+    return langid(_read(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint (rows-only; numpy-oracled in pytest)."""
+    from grawler.operators.textstats import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# crawl-domain end-to-end (synthetic web; strong oracle = grawler.oracle in
+# pytest — the driver records rows-only here)
+# --------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict = {}
+
+
+def _crawl_result(spark):
+    key = "r1"
+    if key not in _CRAWL_CACHE:
+        from grawler import synthgen
+        from grawler.conf import CrawlConfig
+        from grawler.engine import build_engine
+
+        web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+        tmp = tempfile.mkdtemp(prefix="grawler_entry_")
+        eng, seeds = build_engine(spark, web, tmp, CrawlConfig())
+        _CRAWL_CACHE[key] = eng.run(seeds, max_waves=3)
+    return _CRAWL_CACHE[key]
+
+
+def q_crawl_store(spark, sf_dir):
+    """3-wave crawl -> stored image rows (image_id, w, h, fmt, caption,
+    phash) per BASELINE.json input_hint."""
+    return _crawl_result(spark).store().select(
+        "image_id", "w", "h", "fmt", "caption", "phash")
+
+
+def q_crawl_seen(spark, sf_dir):
+    return _crawl_result(spark).seen().select("url", "first_wave")
+
+
+def q_crawl_trace(spark, sf_dir):
+    return _crawl_result(spark).trace()
+
+
+def q_img_phash(spark, sf_dir):
+    """Decode + phash the synthetic image corpus (C10 plumbing: binary
+    column -> Arrow batch -> numpy decode -> LongType)."""
+    from grawler import synthgen
+    from grawler.engine import decode_phash_udf
+
+    web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+    images = spark.createDataFrame(
+        web.images[["image_id", "bytes", "w", "h", "fmt"]])
+    return images.withColumn(
+        "ph", decode_phash_udf(F.col("bytes"), F.col("fmt"))
+    ).select("image_id", "w", "h", "fmt", F.col("ph.phash").alias("phash"),
+             F.col("ph.ok").alias("decode_ok"))
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: training-data curation pipeline over documents at sf0.001 —
+    exact-dedup survivors with quality, language, token stats rolled up per
+    (source, pred_lang)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from grawler.operators.dedup import exact_dedup
+    from grawler.operators.textstats import langid, quality_score, token_count
+
+    d = _read(spark, sf_dir, "documents")
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    survivors = d.join(keep, "doc_id")
+    q = quality_score(survivors)
+    l = langid(survivors)
+    t = token_count(survivors)
+    return (
+        survivors.join(q, "doc_id").join(l, "doc_id").join(t, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("source", "pred_lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "f1_url_components": q_f1_url_components,
+        "f2_allowlist": q_f2_allowlist,
+        "f3_seen_antijoin": q_f3_seen_antijoin,
+        "f4_politeness_topk": q_f4_politeness_topk,
+        "f6_child_normalize": q_f6_child_normalize,
+        "f7_content_filter": q_f7_content_filter,
+        "j2_robots_broadcast": q_j2_robots_broadcast,
+        "a1_word_freq": q_a1_word_freq,
+        "a3_host_accounting": q_a3_host_accounting,
+        "a4_wave_metrics": q_a4_wave_metrics,
+        "w2_wave_cap_topk": q_w2_wave_cap_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "crawl_store": q_crawl_store,
+        "crawl_seen": q_crawl_seen,
+        "crawl_trace": q_crawl_trace,
+        "img_phash": q_img_phash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORD = r"\w+"
+_STOP = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+_MARK = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|la|los|y|es)\b",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langid_case = "CASE "
+    # mirror grawler.operators.textstats.langid: iterate langs in reverse-
+    # sorted order building nested otherwise-chains == first (in sorted
+    # order) lang achieving the max positive score
+    score = {k: f"len(regexp_extract_all(lower(text), '{v}'))"
+             for k, v in _MARK.items()}
+    best = f"greatest({', '.join(score.values())})"
+    langid_expr = "'und'"
+    for lang in sorted(_MARK, reverse=True):
+        langid_expr = (
+            f"CASE WHEN {score[lang]} > 0 AND {score[lang]} = {best} "
+            f"THEN '{lang}' ELSE {langid_expr} END"
+        )
+    return {
+        "f1_url_components": f"""
+            SELECT doc_id, url,
+                   regexp_extract(url, '{_URL_RE}', 1) AS scheme,
+                   regexp_extract(url, '{_URL_RE}', 2) AS host,
+                   regexp_extract(url, '{_URL_RE}', 3) AS path
+            FROM ({_DOC_URLS_SQL})
+        """,
+        "f2_allowlist": f"""
+            SELECT doc_id, url,
+                   regexp_extract(url, '{_URL_RE}', 2) AS host
+            FROM ({_DOC_URLS_SQL})
+            WHERE regexp_extract(url, '{_URL_RE}', 1) IN ('http','https')
+              AND regexp_extract(url, '{_URL_RE}', 3) <> '/robots.txt'
+        """,
+        "f3_seen_antijoin": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "f4_politeness_topk": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "f6_child_normalize": """
+            SELECT doc_id, url FROM (
+              SELECT doc_id,
+                CASE
+                  WHEN doc_id % 4 = 0 THEN 'http://' || source ||
+                       '.example' || '/doc/' || doc_id
+                  WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+                       '.example/doc/' || doc_id
+                  ELSE NULL
+                END AS url
+              FROM documents) WHERE url IS NOT NULL
+        """,
+        "f7_content_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE lower(trim(event_type)) IN ('click','view','purchase')
+              AND value <= 400.0
+        """,
+        "j2_robots_broadcast": """
+            SELECT r_name AS region, n_name AS nation,
+                   count(*) AS customers,
+                   round(sum(c_acctbal), 2) AS acctbal_sum
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "a1_word_freq": rf"""
+            SELECT doc_id, word, count(*) AS freq FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{_WORD}')) AS word
+              FROM documents)
+            GROUP BY doc_id, word
+        """,
+        "a3_host_accounting": """
+            SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY user_id
+        """,
+        "a4_wave_metrics": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "w2_wave_cap_topk": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": rf"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS t
+              FROM documents WHERE doc_id < 300),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+              FROM toks WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "sim_cosine_topk": """
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            FROM (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[],
+                                            n.embedding::DOUBLE[]) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                         n.vec_id ASC) AS rank
+              FROM embeddings q JOIN embeddings n
+                ON q.vec_id <> n.vec_id
+              WHERE q.vec_id < 8)
+            WHERE rank <= 5
+        """,
+        "text_token_count": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{_WORD}'))::BIGINT
+                       AS n_words,
+                   len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+                       AS n_ws_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   ceil(length(text) / 4.0)::BIGINT AS n_bpe_est
+            FROM documents
+        """,
+        "text_quality": rf"""
+            SELECT doc_id, round(
+              least(length(text) / 200.0, 1.0)
+                * (CASE WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) * 0.3
+              + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1) > 0.1
+                      THEN 0.5 ELSE 1.0 END) * 0.2
+              + least(len(regexp_extract_all(lower(text), '{_STOP}')) * 5.0
+                      / greatest(len(regexp_extract_all(lower(text),
+                                                        '{_WORD}')), 1),
+                      1.0) * 0.2
+              + len(list_distinct(regexp_extract_all(lower(text), '{_WORD}')))
+                / greatest(len(regexp_extract_all(lower(text), '{_WORD}')), 1)
+                * 0.3, 6) AS quality
+            FROM documents
+        """,
+        "text_langid": f"""
+            SELECT doc_id, {langid_expr} AS pred_lang FROM documents
+        """,
+    }

@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Runs headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the two BASELINE.json target throughputs:
+  - frontier_urls_per_sec: URLs scheduled+deduped/sec over a synthetic
+    1M-row skewed frontier (generated distributed via spark.range — no
+    driver-side data), through the real scheduling operators:
+    canonical allowlist filter -> seen anti-join -> salted per-host
+    politeness top-k -> global sequence.
+  - store_rows_per_sec: image rows decoded+phashed+deduped into store shape.
+
+Run tools/scaling_run.py for the N-vs-4N cores scaling-efficiency report
+(BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FRONTIER_ROWS = int(os.environ.get("GRAWLER_BENCH_FRONTIER", "1000000"))
+IMG_ROWS = int(os.environ.get("GRAWLER_BENCH_IMAGES", "3000"))
+
+
+def synth_frontier(spark, n: int):
+    """Distributed synthetic frontier: ~10k hosts, one hot host with ~20%
+    of rows, 30% urls overlapping the seen set."""
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.pmod("id", 5) == 0, F.lit("hot.example")).otherwise(
+            F.concat(F.lit("host-"),
+                     F.pmod(F.xxhash64("id"), F.lit(10000)).cast("string"),
+                     F.lit(".example"))
+        ).alias("host"),
+    )
+    return df.select(
+        F.concat(F.lit("http://"), "host", F.lit("/p/"), "id").alias("url"),
+        F.lit("").alias("parent_url"),
+        "host",
+        F.pmod("id", 8).cast("int").alias("depth"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("wave"),
+    )
+
+
+def bench_frontier(spark) -> tuple[float, float]:
+    from grawler.scheduler import schedule_wave
+
+    frontier = synth_frontier(spark, FRONTIER_ROWS)
+    seen = frontier.where(F.pmod(F.xxhash64("url"), F.lit(10)) < 3).select(
+        "url")
+    t0 = time.time()
+    cand = frontier.where(
+        F.col("url").startswith("http")
+    ).join(seen, "url", "left_anti")
+    scheduled, deferred = schedule_wave(
+        cand, host_tokens=1000, wave_cap=FRONTIER_ROWS, salt_buckets=16)
+    n = scheduled.count()
+    dt = time.time() - t0
+    return dt, FRONTIER_ROWS / dt
+
+
+def bench_store(spark) -> tuple[float, float]:
+    import pandas as pd
+
+    from grawler import synthgen
+    from grawler.engine import decode_phash_udf
+
+    rows = []
+    for i in range(IMG_ROWS):
+        iid = f"img-{i:06d}-0"
+        px, fmt, caption = synthgen.gen_image(iid, i)
+        from grawler import codecs
+        rows.append((iid, codecs.encode(px, fmt), px.shape[1], px.shape[0],
+                     fmt, caption))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                      "caption"])
+    df = spark.createDataFrame(pdf).repartition(32)
+    t0 = time.time()
+    out = df.withColumn("ph", decode_phash_udf(F.col("bytes"), F.col("fmt")))
+    n = out.where(F.col("ph.ok")).dropDuplicates(["image_id"]).count()
+    dt = time.time() - t0
+    return dt, n / dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    from grawler.session import get_spark
+
+    spark = get_spark("grawler-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "a4_wave_metrics", "a1_word_freq", "f4_politeness_topk",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "sim_cosine_topk", "text_quality", "text_langid",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    f_dt, f_rate = bench_frontier(spark)
+    timings["crawl_frontier_1m"] = round(f_dt, 3)
+    s_dt, s_rate = bench_store(spark)
+    timings["img_store_decode"] = round(s_dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "frontier_urls_per_sec": round(f_rate),
+        "store_rows_per_sec": round(s_rate),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

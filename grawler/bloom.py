@@ -1,0 +1,159 @@
+"""Partitioned bloom URL-seen prefilter (north_star: bloom/cuckoo filter
+with vectorized xxhash64; SURVEY.md §4.3 item 1).
+
+The exact seen set at 10^10 URLs cannot be shuffled against every wave's
+frontier; the bloom prefilter routes the (overwhelmingly common) definitely-
+unseen rows around the anti-join entirely:
+
+  build:  seen urls -> segment = xxhash64(url) mod S; k bit positions =
+          xxhash64(url, i) mod m  (all JVM-side) -> applyInPandas per
+          segment packs a numpy bit array -> (segment, bits, n_keys) rows.
+  probe:  frontier rows compute the same segment/positions natively; one
+          Arrow pass tests bits against the broadcast segment map.
+  dedup:  definitely-new rows skip the shuffle; only maybe-seen rows take
+          the exact left-anti join (bloom false positives are harmless,
+          false negatives are impossible -> exactness preserved).
+
+Segments are persistable rows (BLOOM_SEGMENT schema), so wave checkpoints
+carry bloom state incrementally (bitwise OR of per-wave segment deltas).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+DEFAULT_SEGMENTS = 64
+DEFAULT_BITS = 1 << 17  # 16 KiB per segment; sized up via conf at scale
+DEFAULT_HASHES = 4
+
+
+def _segment_col(url_col):
+    return F.pmod(F.xxhash64(url_col), F.lit(DEFAULT_SEGMENTS)).cast("int")
+
+
+def _position_cols(url_col, m: int, k: int):
+    return [
+        F.pmod(F.xxhash64(url_col, F.lit(i)), F.lit(m)).cast("long")
+        for i in range(k)
+    ]
+
+
+def build_segments(
+    seen: DataFrame,
+    url_col: str = "url",
+    n_segments: int = DEFAULT_SEGMENTS,
+    m: int = DEFAULT_BITS,
+    k: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """-> (segment int, bits binary, n_keys long), one row per segment."""
+    u = F.col(url_col)
+    prepared = seen.select(
+        F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int").alias("segment"),
+        F.array(*_position_cols(u, m, k)).alias("pos"),
+    )
+
+    def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seg = int(pdf["segment"].iloc[0])
+            bits = np.zeros(m, dtype=bool)
+            for positions in pdf["pos"]:
+                bits[np.asarray(positions, dtype=np.int64)] = True
+            yield pd.DataFrame(
+                {"segment": [seg], "bits": [np.packbits(bits).tobytes()],
+                 "n_keys": [len(pdf)]}
+            )
+
+    return (
+        prepared.repartition(n_segments, "segment")
+        .groupBy("segment")
+        .applyInPandas(
+            lambda key, pdf: next(
+                pack(iter([pdf])), pd.DataFrame(
+                    {"segment": [], "bits": [], "n_keys": []})
+            ),
+            schema="segment int, bits binary, n_keys long",
+        )
+    )
+
+
+def merge_segment_sets(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise OR of two segment sets (incremental wave updates)."""
+
+    def orjoin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(bz, dtype=np.uint8) for bz in pdf["bits"]]
+        out = arrs[0].copy()
+        for x in arrs[1:]:
+            out |= x
+        return pd.DataFrame({
+            "segment": [key[0]], "bits": [out.tobytes()],
+            "n_keys": [int(pdf["n_keys"].sum())],
+        })
+
+    return (
+        a.unionByName(b)
+        .groupBy("segment")
+        .applyInPandas(orjoin, schema="segment int, bits binary, n_keys long")
+    )
+
+
+def make_probe_udf(segment_map: dict[int, bytes], m: int, k: int):
+    """Vectorized membership probe against broadcast unpacked segments."""
+    unpacked = {
+        seg: np.unpackbits(np.frombuffer(bz, dtype=np.uint8))
+        for seg, bz in segment_map.items()
+    }
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(segment: pd.Series, *positions: pd.Series) -> pd.Series:
+        seg_arr = segment.to_numpy()
+        pos = [p.to_numpy(dtype=np.int64) for p in positions]
+        out = np.zeros(len(segment), dtype=bool)
+        for seg in np.unique(seg_arr):
+            arr = unpacked.get(int(seg))
+            mask = seg_arr == seg
+            if arr is None:
+                continue  # empty segment -> definitely new
+            hit = np.ones(mask.sum(), dtype=bool)
+            for p in pos:
+                hit &= arr[p[mask]] == 1
+            out[mask] = hit
+        return pd.Series(out)
+
+    return maybe_seen
+
+
+def bloom_anti_join(
+    frontier: DataFrame,
+    seen: DataFrame,
+    segments: DataFrame | None,
+    url_col: str = "url",
+    m: int = DEFAULT_BITS,
+    k: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """Exact frontier-minus-seen with bloom shuffle avoidance.
+
+    segments=None falls back to the plain anti-join.
+    """
+    if segments is None:
+        return frontier.join(seen.select(url_col), url_col, "left_anti")
+    seg_rows = segments.collect()
+    seg_map = {r["segment"]: bytes(r["bits"]) for r in seg_rows}
+    probe = make_probe_udf(seg_map, m, k)
+    u = F.col(url_col)
+    with_flag = frontier.withColumn(
+        "_maybe",
+        probe(_segment_col(u), *_position_cols(u, m, k)),
+    )
+    definitely_new = with_flag.where(~F.col("_maybe")).drop("_maybe")
+    maybe = with_flag.where(F.col("_maybe")).drop("_maybe")
+    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    return definitely_new.unionByName(checked)

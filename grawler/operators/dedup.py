@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-MERSENNE_P = (1 << 61) - 1
+# Mersenne-31: keeps a_i * h + b_i < 2^62, safe under ANSI int64 arithmetic
+MERSENNE_P = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

@@ -102,8 +102,8 @@ def with_lsh_buckets(
     df: DataFrame,
     dim: int,
     vec_col: str = "embedding",
-    bits: int = 8,
-    tables: int = 4,
+    bits: int = 6,
+    tables: int = 8,
     seed: int = 11,
 ) -> DataFrame:
     """(.., bucket_table, bucket_sig) exploded — one row per LSH table."""
@@ -121,8 +121,8 @@ def ann_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
-    tables: int = 4,
+    bits: int = 6,
+    tables: int = 8,
     seed: int = 11,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >=1 table,
@@ -164,8 +164,8 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
-    tables: int = 6,
+    bits: int = 6,
+    tables: int = 8,
     seed: int = 11,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine (id_a < id_b)."""

@@ -55,8 +55,7 @@ class LocalSnapshotStore:
             mode = "append" if name in APPEND_TABLES else "full"
             p = self._table_path(name, wave)
             df.write.mode("overwrite").parquet(p)
-            n = self.spark.read.parquet(p).count()
-            entries[name] = {"path": p, "rows": n, "mode": mode}
+            entries[name] = {"path": p, "mode": mode}
         manifest = {
             "wave": wave,
             "tables": entries,

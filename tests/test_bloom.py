@@ -1,0 +1,52 @@
+"""Bloom prefilter: exactness (no false negatives), shuffle-avoidance
+fraction, incremental merge."""
+
+import pyspark.sql.functions as F
+
+from grawler import bloom
+
+
+def _urls(spark, prefix, n):
+    return spark.range(n).select(
+        F.concat(F.lit(f"http://{prefix}.example/p/"), "id").alias("url"))
+
+
+def test_bloom_anti_join_exact(spark):
+    seen = _urls(spark, "a", 500)
+    frontier = _urls(spark, "a", 800)  # 500 overlap + 300 new
+    segs = bloom.build_segments(seen, m=1 << 14)
+    got = sorted(
+        r["url"] for r in
+        bloom.bloom_anti_join(frontier, seen, segs, m=1 << 14).collect())
+    want = sorted(
+        r["url"] for r in
+        frontier.join(seen, "url", "left_anti").collect())
+    assert got == want  # bloom never changes the exact result
+    assert len(got) == 300
+
+
+def test_bloom_routes_most_new_urls_around_join(spark):
+    seen = _urls(spark, "a", 500)
+    new = _urls(spark, "b", 2000)  # disjoint
+    segs = bloom.build_segments(seen, m=1 << 16)
+    seg_map = {r["segment"]: bytes(r["bits"]) for r in segs.collect()}
+    probe = bloom.make_probe_udf(seg_map, 1 << 16, 4)
+    u = F.col("url")
+    flagged = new.withColumn(
+        "_maybe", probe(bloom._segment_col(u),
+                        *bloom._position_cols(u, 1 << 16, 4)))
+    fp = flagged.where(F.col("_maybe")).count()
+    assert fp / 2000 < 0.05  # low false-positive rate at this load factor
+
+
+def test_merge_segment_sets(spark):
+    a = bloom.build_segments(_urls(spark, "a", 200), m=1 << 14)
+    b = bloom.build_segments(_urls(spark, "b", 200), m=1 << 14)
+    merged = bloom.merge_segment_sets(a, b)
+    both = _urls(spark, "a", 200).union(_urls(spark, "b", 200))
+    frontier = _urls(spark, "a", 400).union(_urls(spark, "b", 400))
+    got = sorted(r["url"] for r in bloom.bloom_anti_join(
+        frontier, both, merged, m=1 << 14).collect())
+    want = sorted(r["url"] for r in
+                  frontier.join(both, "url", "left_anti").collect())
+    assert got == want

@@ -1,0 +1,99 @@
+"""Dedup operator correctness vs numpy/pure-Python oracles."""
+
+import re
+import zlib
+
+import numpy as np
+import pytest
+
+from grawler.operators import dedup
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " extra token"),                  # near dup
+        (3, "completely different content about spark shuffle partitions"),
+        (4, base.replace("quick", "slow")),          # near dup
+        (5, "completely different content about spark shuffle partitions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingle_sets(rows, n=3):
+    out = {}
+    for i, t in rows:
+        toks = re.findall(r"\w+", t.lower())
+        out[i] = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+    return out
+
+
+def test_exact_dedup(spark):
+    d = dedup.exact_dedup(_docs(spark)).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in d}
+    assert groups[0] == 2 and groups[3] == 2
+    assert groups[2] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_matches_python(spark):
+    rows = [(r["doc_id"], r["text"]) for r in _docs(spark).collect()]
+    sets_ = _shingle_sets(rows)
+    want = {}
+    for a in sets_:
+        for b in sets_:
+            if a < b and sets_[a] and sets_[b]:
+                j = len(sets_[a] & sets_[b]) / len(sets_[a] | sets_[b])
+                if j >= 0.3:
+                    want[(a, b)] = round(j, 6)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_pairs(_docs(spark),
+                                           threshold=0.3).collect()
+    }
+    assert got == want
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(_docs(spark),
+                                         threshold=0.5).collect()
+    }
+    assert (0, 1) in got          # exact dup always caught
+    assert (3, 5) in got
+    # verify no false positives: every reported pair really >= 0.5
+    rows = [(r["doc_id"], r["text"]) for r in _docs(spark).collect()]
+    sets_ = _shingle_sets(rows)
+    for a, b in got:
+        j = len(sets_[a] & sets_[b]) / len(sets_[a] | sets_[b])
+        assert j >= 0.5
+
+
+def test_simhash_exact_dups_zero_hamming(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(_docs(spark)).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((3, 5)) == 0
+
+
+def test_simhash_udf_matches_numpy_oracle(spark):
+    texts = ["alpha beta gamma", "alpha beta gamma delta"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash64_udf("text").alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\w+", t.lower())
+        v = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = (zlib.crc32(tok.encode(), 0xABCD1234) << 32) | zlib.crc32(
+                tok.encode())
+            for bit in range(64):
+                v[bit] += 1 if (h >> bit) & 1 else -1
+        fp = np.uint64(0)
+        for bit in np.nonzero(v > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(bit)
+        assert got[i] == np.int64(fp.view(np.int64) if hasattr(fp, 'view')
+                                  else fp)

@@ -1,0 +1,84 @@
+"""End-to-end golden tests: Spark engine state == pure-Python oracle
+(SURVEY.md §5.2 items 2, 3, 5).
+
+These are the authoritative checks for the crawl_* rows-only entries in
+__spark_entry__.py: trace equality (crawl ordering), URL-seen set equality,
+stored-row equality (caption exact, phash exact, decoded pixels vs ground
+truth with PSNR >= 40 dB for lossy), and kill/resume with no duplicate
+fetches (BASELINE.json north_rule).
+"""
+
+import numpy as np
+import pytest
+
+from grawler import codecs, oracle, synthgen
+from grawler.conf import CrawlConfig
+from grawler.engine import build_engine
+
+CFG = CrawlConfig()
+
+
+def _run_both(spark, web, tmp, max_waves):
+    eng, seeds = build_engine(spark, web, str(tmp), CFG)
+    res = eng.run(seeds, max_waves=max_waves)
+    o = oracle.crawl(web, CFG, max_waves=max_waves)
+    return res, o
+
+
+def _assert_equal(res, o, web=None):
+    etr = [(r["wave"], r["seq"], r["url"], r["host"], r["depth"])
+           for r in res.trace().orderBy("wave", "seq").collect()]
+    assert etr == o.trace, f"trace diff at {next((i for i,(a,b) in enumerate(zip(etr,o.trace)) if a!=b), 'len')}"
+    seen = {r["url"]: r["first_wave"] for r in res.seen().collect()}
+    assert seen == o.seen
+    store = {r["image_id"]: r for r in res.store().collect()}
+    assert set(store) == set(o.store)
+    for iid, want in o.store.items():
+        got = store[iid]
+        assert got["caption"] == want["caption"]          # exact equality
+        assert got["phash"] == want["phash"]
+        assert (got["w"], got["h"], got["fmt"]) == (
+            want["w"], want["h"], want["fmt"])
+        if web is not None:
+            px = codecs.decode(bytes(got["bytes"]), got["fmt"])
+            truth = web.pixels[iid]
+            if got["fmt"] in ("rgb8", "png"):
+                assert np.array_equal(px, truth)
+            else:
+                assert codecs.psnr(truth, px) >= 40.0     # input_hint gate
+    ef = sorted(r["url"] for r in res.frontier().collect())
+    of = sorted(r["url"] for r in o.frontier)
+    assert ef == of
+
+
+def test_golden_mixed(spark, tiny_web, tmp_path):
+    res, o = _run_both(spark, tiny_web, tmp_path, max_waves=4)
+    _assert_equal(res, o, tiny_web)
+
+
+def test_golden_hot_host_skew(spark, tmp_path):
+    web = synthgen.generate(seed=9, n_pages=100, shape="hot-host")
+    res, o = _run_both(spark, web, tmp_path, max_waves=3)
+    _assert_equal(res, o, web)
+    # politeness invariant: no host exceeds its token budget in any wave
+    from collections import Counter
+
+    per = Counter((w, h) for (w, _, _, h, _) in o.trace)
+    assert all(v <= CFG.host_tokens_per_wave for v in per.values())
+
+
+def test_resume_no_duplicate_fetches(spark, tmp_path):
+    web = synthgen.generate(seed=5, n_pages=80, shape="diamond")
+    full_dir, part_dir = tmp_path / "full", tmp_path / "part"
+    e1, s1 = build_engine(spark, web, str(full_dir), CFG)
+    full = e1.run(s1, max_waves=4)
+    e2, s2 = build_engine(spark, web, str(part_dir), CFG)
+    e2.run(s2, max_waves=2)  # simulated kill after wave 1
+    e3, s3 = build_engine(spark, web, str(part_dir), CFG)
+    resumed = e3.run(s3, max_waves=4, resume=True)
+    a = sorted((r["wave"], r["seq"], r["url"]) for r in full.trace().collect())
+    b = sorted((r["wave"], r["seq"], r["url"])
+               for r in resumed.trace().collect())
+    assert a == b
+    seen_urls = [r["url"] for r in resumed.seen().collect()]
+    assert len(seen_urls) == len(set(seen_urls))  # zero duplicate fetches

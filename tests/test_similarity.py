@@ -1,0 +1,68 @@
+"""Similarity search: brute-force exactness vs numpy; ANN recall bound."""
+
+import numpy as np
+import pytest
+
+from grawler.operators import similarity
+
+
+def _emb(spark, n=60, dim=16, seed=4):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, qids, k):
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    out = {}
+    for q in qids:
+        order = sorted(
+            ((-(sims[q, j]), j) for j in range(len(vecs)) if j != q)
+        )[:k]
+        out[q] = [(j, round(-s, 6)) for s, j in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    q = df.where("vec_id < 5")
+    got = {}
+    for r in similarity.cosine_topk(df, q, k=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"]))
+    want = _numpy_topk(vecs, range(5), 4)
+    for qid in range(5):
+        got_sorted = [x[1:] for x in sorted(got[qid])]
+        for (gj, gc), (wj, wc) in zip(got_sorted, want[qid]):
+            assert gj == wj
+            assert abs(gc - wc) < 1e-5
+
+
+def test_ann_lsh_recall(spark):
+    df, vecs = _emb(spark, n=120, dim=16)
+    q = df.where("vec_id < 10")
+    exact = _numpy_topk(vecs, range(10), 3)
+    got = {}
+    for r in similarity.ann_lsh_topk(df, q, dim=16, k=3, bits=4,
+                                     tables=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(10):
+        want = {j for j, _ in exact[qid]}
+        hits += len(want & got.get(qid, set()))
+        total += len(want)
+    assert hits / total >= 0.5  # multi-table LSH finds most true neighbors
+
+
+def test_embedding_neardup_no_false_positives(spark):
+    df, vecs = _emb(spark, n=80, dim=8, seed=1)
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    pairs = similarity.embedding_neardup(df, dim=8, threshold=0.8,
+                                        bits=6, tables=8).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert sims[r["id_a"], r["id_b"]] >= 0.8 - 1e-9

@@ -361,6 +361,58 @@ def q_crawl_trace(spark, sf_dir):
     return _crawl_result(spark).trace()
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming: watermarked tumbling-window agg over events
+    (availableNow => equals the batch aggregation, so DuckDB oracles it)."""
+    from grawler.streaming import windowed_event_counts
+
+    return windowed_event_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Structured Streaming: gap-based sessions per user via
+    applyInPandasWithState (custom stateful operator)."""
+    from grawler.streaming import sessionize
+
+    return sessionize(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "session_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_ts", "end_ts",
+    )
+
+
+def q_img_resize(spark, sf_dir):
+    """Multimodal: decode -> block-mean resize -> re-encode (mapInPandas
+    over binary columns; rows-only, numpy-oracled in tests)."""
+    from grawler import synthgen
+    from grawler.operators.images import resize
+
+    web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+    images = spark.createDataFrame(
+        web.images[["image_id", "bytes", "w", "h", "fmt"]])
+    return resize(images, 16, 16).select(
+        "image_id", "w", "h", "fmt",
+        F.length("bytes").cast("long").alias("n_bytes"))
+
+
+def q_img_features(spark, sf_dir):
+    """Multimodal: per-image feature vectors (mean/std RGB + luma hist)."""
+    from grawler import synthgen
+    from grawler.operators.images import features
+
+    web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+    images = spark.createDataFrame(
+        web.images[["image_id", "bytes", "w", "h", "fmt"]])
+    f = features(images)
+    return f.select(
+        "image_id",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 7), 6).alias("luma_bin0"),
+        F.size("features").cast("long").alias("dim"),
+    )
+
+
 def q_img_phash(spark, sf_dir):
     """Decode + phash the synthetic image corpus (C10 plumbing: binary
     column -> Arrow batch -> numpy decode -> LongType)."""
@@ -434,6 +486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen": q_crawl_seen,
         "crawl_trace": q_crawl_trace,
         "img_phash": q_img_phash,
+        "img_resize": q_img_resize,
+        "img_features": q_img_features,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -623,5 +679,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": f"""
             SELECT doc_id, {langid_expr} AS pred_lang FROM documents
+        """,
+        "stream_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts)
+                              > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM s GROUP BY user_id, s.session_id
         """,
     }

@@ -34,8 +34,8 @@ DEFAULT_BITS = 1 << 17  # 16 KiB per segment; sized up via conf at scale
 DEFAULT_HASHES = 4
 
 
-def _segment_col(url_col):
-    return F.pmod(F.xxhash64(url_col), F.lit(DEFAULT_SEGMENTS)).cast("int")
+def _segment_col(url_col, n_segments: int = DEFAULT_SEGMENTS):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_segments)).cast("int")
 
 
 def _position_cols(url_col, m: int, k: int):
@@ -59,29 +59,20 @@ def build_segments(
         F.array(*_position_cols(u, m, k)).alias("pos"),
     )
 
-    def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            seg = int(pdf["segment"].iloc[0])
-            bits = np.zeros(m, dtype=bool)
-            for positions in pdf["pos"]:
-                bits[np.asarray(positions, dtype=np.int64)] = True
-            yield pd.DataFrame(
-                {"segment": [seg], "bits": [np.packbits(bits).tobytes()],
-                 "n_keys": [len(pdf)]}
-            )
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment"].iloc[0])
+        bits = np.zeros(m, dtype=bool)
+        for positions in pdf["pos"]:
+            bits[np.asarray(positions, dtype=np.int64)] = True
+        return pd.DataFrame(
+            {"segment": [seg], "bits": [np.packbits(bits).tobytes()],
+             "n_keys": [len(pdf)]}
+        )
 
     return (
         prepared.repartition(n_segments, "segment")
         .groupBy("segment")
-        .applyInPandas(
-            lambda key, pdf: next(
-                pack(iter([pdf])), pd.DataFrame(
-                    {"segment": [], "bits": [], "n_keys": []})
-            ),
-            schema="segment int, bits binary, n_keys long",
-        )
+        .applyInPandas(pack, schema="segment int, bits binary, n_keys long")
     )
 
 
@@ -138,6 +129,7 @@ def bloom_anti_join(
     url_col: str = "url",
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_HASHES,
+    n_segments: int = DEFAULT_SEGMENTS,
 ) -> DataFrame:
     """Exact frontier-minus-seen with bloom shuffle avoidance.
 
@@ -151,7 +143,7 @@ def bloom_anti_join(
     u = F.col(url_col)
     with_flag = frontier.withColumn(
         "_maybe",
-        probe(_segment_col(u), *_position_cols(u, m, k)),
+        probe(_segment_col(u, n_segments), *_position_cols(u, m, k)),
     )
     definitely_new = with_flag.where(~F.col("_maybe")).drop("_maybe")
     maybe = with_flag.where(F.col("_maybe")).drop("_maybe")

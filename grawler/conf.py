@@ -37,9 +37,11 @@ class CrawlConfig:
     # skew handling: hosts holding more than this share of a wave get salted
     hot_host_share: float = 0.20
     salt_buckets: int = 16
-    # bloom prefilter
+    # bloom prefilter (seen-set shuffle avoidance; exactness preserved by
+    # the anti-join on maybe-seen rows)
+    use_bloom: bool = True
     bloom_segments: int = 64
-    bloom_bits_per_key: int = 16         # ~0.04% fpr with 7 hashes; we use 4
+    bloom_m: int = 1 << 17               # bits per segment; size up at scale
     bloom_num_hashes: int = 4
     # deterministic wave clock origin (epoch seconds); frozen per wave
     clock_origin_s: int = 1_700_000_000

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from . import codecs, schemas
+from . import bloom, codecs, schemas
 from .conf import CrawlConfig, DEFAULT
 from .robots import make_agent_allowed_udf
 from .scheduler import schedule_wave
@@ -211,15 +211,24 @@ class CrawlEngine:
 
     def run_wave(
         self, wave: int, frontier: DataFrame, seen: DataFrame,
-        robots_cache: DataFrame,
+        robots_cache: DataFrame, bloom_segments: DataFrame | None = None,
     ) -> dict:
         cfg, spark = self.cfg, self.spark
         ts = self._wave_ts(wave)
         stale_before = ts - dt.timedelta(days=cfg.robots_ttl_days)
         persisted: list[DataFrame] = []
 
-        # 1. F3/J1 — exact dedup vs seen (bloom prefilter added in engine v2)
-        cand = frontier.join(seen.select("url"), "url", "left_anti")
+        # 1. F3/J1 — exact dedup vs seen; bloom prefilter routes definitely-
+        # unseen rows around the shuffle (north_star: partitioned xxhash64
+        # bloom; exactness preserved — see grawler.bloom)
+        if cfg.use_bloom and bloom_segments is not None:
+            cand = bloom.bloom_anti_join(
+                frontier, seen, bloom_segments,
+                m=cfg.bloom_m, k=cfg.bloom_num_hashes,
+                n_segments=cfg.bloom_segments,
+            )
+        else:
+            cand = frontier.join(seen.select("url"), "url", "left_anti")
 
         # 2. robots: TTL refetch for hosts in play (S4/S5/C9/K3)
         hosts = cand.select("host").distinct()
@@ -264,10 +273,17 @@ class CrawlEngine:
             salt_buckets=cfg.salt_buckets,
             registry=persisted,
         )
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("GRAWLER_TIMING")
+        _t0 = _time.time()
         scheduled = scheduled.persist()
         deferred = deferred.persist()
         persisted.extend([scheduled, deferred])
         n_scheduled = scheduled.count()
+        if _timing:
+            print(f"  [t] schedule+count: {_time.time() - _t0:.2f}s")
 
         trace = scheduled.select(
             F.lit(wave).alias("wave"),
@@ -339,12 +355,12 @@ class CrawlEngine:
             .where(allow_predicate(cfg.allowed_schemes, cfg.blocked_paths))
         )
         w_first = Window.partitionBy("url").orderBy("seq", "pos")
+        exclude = seen_all.unionByName(deferred.select("url"))
         new_children = (
             kids.withColumn("_rn", F.row_number().over(w_first))
             .where(F.col("_rn") == 1)
             .select(*FRONTIER_COLS)
-            .join(seen_all, "url", "left_anti")
-            .join(deferred.select("url"), "url", "left_anti")
+            .join(exclude, "url", "left_anti")  # one shuffle, not two
         )
         next_frontier = deferred.unionByName(new_children)
 
@@ -421,17 +437,24 @@ class CrawlEngine:
         )
 
         # 10. wave-atomic commit (lineage manifest last)
-        manifest = self.state.commit_wave(
-            wave,
-            {
-                "trace": trace,
-                "seen": seen_delta,
-                "store": store_delta,
-                "frontier": next_frontier,
-                "robots_cache": new_cache,
-                "metrics": metrics,
-            },
-        )
+        tables = {
+            "trace": trace,
+            "seen": seen_delta,
+            "store": store_delta,
+            "frontier": next_frontier,
+            "robots_cache": new_cache,
+            "metrics": metrics,
+        }
+        if cfg.use_bloom:
+            new_segs = bloom.build_segments(
+                seen_delta, n_segments=cfg.bloom_segments,
+                m=cfg.bloom_m, k=cfg.bloom_num_hashes,
+            )
+            tables["bloom"] = (
+                bloom.merge_segment_sets(bloom_segments, new_segs)
+                if bloom_segments is not None else new_segs
+            )
+        manifest = self.state.commit_wave(wave, tables)
         for df in persisted:
             df.unpersist()
         manifest["n_scheduled"] = n_scheduled
@@ -449,11 +472,13 @@ class CrawlEngine:
         max_waves = max_waves if max_waves is not None else cfg.max_waves
 
         last = self.state.last_wave() if resume else None
+        bloom_segments = None
         if last is not None:
             start = last + 1
             frontier = self.state.read("frontier")
             seen = self.state.read("seen").select("url")
             robots_cache = self.state.read("robots_cache")
+            bloom_segments = self.state.read("bloom")
         else:
             start = 0
             frontier = self._seed_frontier(seeds)
@@ -468,13 +493,16 @@ class CrawlEngine:
         for wave in range(start, max_waves):
             if frontier.isEmpty():
                 break
-            m = self.run_wave(wave, frontier, seen, robots_cache)
+            m = self.run_wave(wave, frontier, seen, robots_cache,
+                              bloom_segments)
             waves = wave + 1
             if m["n_scheduled"] == 0:
                 break
             frontier = self.state.read("frontier")
             seen = self.state.read("seen").select("url")
             robots_cache = self.state.read("robots_cache")
+            if cfg.use_bloom:
+                bloom_segments = self.state.read("bloom")
         return CrawlResult(waves=waves, state=self.state)
 
 

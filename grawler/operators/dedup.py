@@ -52,16 +52,28 @@ def _tokens(text_col: str):
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """Token n-gram shingles, exploded: (id, shingle)."""
-    toks = _tokens(text_col)
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
+    """Token n-gram shingles, exploded: (id, shingle).
+
+    Built as posexplode + window lead() so the tokenizing regex runs exactly
+    once per document — building grams with element_at() lambdas over the
+    token-array expression makes Catalyst (CollapseProject) re-evaluate the
+    regex per gram per position: measured ~20x slowdown at sf0.1."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
     )
-    return df.select(F.col(id_col).alias("id"),
-                     F.explode(grams).alias("shingle")).distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        tok.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+        .distinct()
+    )
 
 
 def _affine_params(num_hashes: int, seed: int = 7):

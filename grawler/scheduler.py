@@ -40,30 +40,33 @@ def per_host_topk(
     k: int,
     salt_buckets: int = 16,
     rank_col: str = "hrank",
-) -> DataFrame:
-    """Rank rows within each host by POLITE_ORDER; rank <= k are scheduled.
+) -> tuple[DataFrame, DataFrame]:
+    """Per-host politeness: returns (kept, deferred_overflow).
 
-    Two-phase: a salted local top-k prunes each (host, salt) group to k rows
-    (correct superset of the global per-host top-k), then the exact window
-    runs on the reduced set — the final shuffle moves at most
-    salt_buckets * k rows per host regardless of host skew.
-    Returns df + rank_col (1-based).
+    Two-phase, no anti-joins: a salted local top-k tags each (host, salt)
+    group — rows beyond k locally can never be in the global per-host top-k,
+    so they defer immediately; survivors (<= salt_buckets * k per host,
+    regardless of skew) take the exact per-host window, whose overflow also
+    defers. kept carries rank_col (1-based, <= k).
     """
+    cols = df.columns
     order = [F.col(c) for c in POLITE_ORDER]
     if salt_buckets > 1:
         salted = df.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
         )
         w_local = Window.partitionBy("host", "_salt").orderBy(*order)
-        pruned = (
-            salted.withColumn("_lr", F.row_number().over(w_local))
-            .where(F.col("_lr") <= k)
-            .drop("_lr", "_salt")
-        )
+        tagged = salted.withColumn("_lr", F.row_number().over(w_local))
+        survivors = tagged.where(F.col("_lr") <= k).drop("_lr", "_salt")
+        defer_local = tagged.where(F.col("_lr") > k).select(*cols)
     else:
-        pruned = df
+        survivors = df
+        defer_local = df.limit(0)
     w = Window.partitionBy("host").orderBy(*order)
-    return pruned.withColumn(rank_col, F.row_number().over(w))
+    ranked = survivors.withColumn(rank_col, F.row_number().over(w))
+    kept = ranked.where(F.col(rank_col) <= k)
+    defer_exact = ranked.where(F.col(rank_col) > k).select(*cols)
+    return kept, defer_local.unionByName(defer_exact)
 
 
 def global_sequence(
@@ -125,16 +128,15 @@ def schedule_wave(
     deferred keeps the original frontier columns and stays pending.
     """
     cols = frontier.columns
-    ranked = per_host_topk(frontier, host_tokens, salt_buckets=salt_buckets)
-    polite = ranked.where(F.col("hrank") <= host_tokens).drop("hrank")
-    # politeness overflow = frontier rows NOT in polite (salted prune makes
-    # the deferred set cheapest to compute as an anti-join on url)
-    deferred_polite = frontier.join(
-        polite.select("url"), on="url", how="left_anti"
-    ).select(*cols)
+    kept, deferred_polite = per_host_topk(
+        frontier, host_tokens, salt_buckets=salt_buckets)
+    # persist: global_sequence reads its input twice (range-bound sampling
+    # + the partitioning pass) — without this the window pipeline reruns
+    polite = kept.drop("hrank").select(*cols).persist()
+    if registry is not None:
+        registry.append(polite)
 
-    seq = global_sequence(polite.select(*cols), WAVE_ORDER, "seq",
-                          registry=registry)
+    seq = global_sequence(polite, WAVE_ORDER, "seq", registry=registry)
     scheduled = seq.where(F.col("seq") < wave_cap)
     over_cap = seq.where(F.col("seq") >= wave_cap).select(*cols)
     deferred = deferred_polite.unionByName(over_cap)

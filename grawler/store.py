@@ -34,7 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 APPEND_TABLES = ("seen", "store", "trace", "metrics")
-FULL_TABLES = ("frontier", "robots_cache", "host_budget")
+FULL_TABLES = ("frontier", "robots_cache", "host_budget", "bloom")
 
 
 class LocalSnapshotStore:
@@ -50,11 +50,15 @@ class LocalSnapshotStore:
 
     def commit_wave(self, wave: int, tables: dict[str, DataFrame]) -> dict:
         """Write all table data, then the lineage manifest (commit point)."""
+        timing = os.environ.get("GRAWLER_TIMING")
         entries = {}
         for name, df in tables.items():
             mode = "append" if name in APPEND_TABLES else "full"
             p = self._table_path(name, wave)
+            t0 = time.time()
             df.write.mode("overwrite").parquet(p)
+            if timing:
+                print(f"  [t] write {name}: {time.time() - t0:.2f}s")
             entries[name] = {"path": p, "mode": mode}
         manifest = {
             "wave": wave,

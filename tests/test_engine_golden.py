@@ -82,3 +82,26 @@ def test_resume_no_duplicate_fetches(spark, tmp_path):
     assert a == b
     seen_urls = [r["url"] for r in resumed.seen().collect()]
     assert len(seen_urls) == len(set(seen_urls))  # zero duplicate fetches
+
+
+def test_bloom_on_off_equivalent(spark, tmp_path):
+    """Bloom prefilter must never change results (false negatives
+    impossible; positives re-checked by the exact anti-join)."""
+    import dataclasses
+
+    web = synthgen.generate(seed=3, n_pages=60, shape="mixed")
+    on_dir, off_dir = tmp_path / "on", tmp_path / "off"
+    cfg_on = dataclasses.replace(CFG, use_bloom=True, bloom_m=1 << 14)
+    cfg_off = dataclasses.replace(CFG, use_bloom=False)
+    e1, s1 = build_engine(spark, web, str(on_dir), cfg_on)
+    r_on = e1.run(s1, max_waves=3)
+    e2, s2 = build_engine(spark, web, str(off_dir), cfg_off)
+    r_off = e2.run(s2, max_waves=3)
+    a = [(r["wave"], r["seq"], r["url"])
+         for r in r_on.trace().orderBy("wave", "seq").collect()]
+    b = [(r["wave"], r["seq"], r["url"])
+         for r in r_off.trace().orderBy("wave", "seq").collect()]
+    assert a == b
+    sa = sorted(r["url"] for r in r_on.seen().collect())
+    sb = sorted(r["url"] for r in r_off.seen().collect())
+    assert sa == sb

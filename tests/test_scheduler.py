@@ -24,13 +24,12 @@ def _mk_rows(n_hosts=5, per_host=20):
 def test_per_host_topk_salted_equals_unsalted(spark):
     df = _frontier(spark, _mk_rows())
     k = 3
-    salted = per_host_topk(df, k, salt_buckets=8)
-    plain = per_host_topk(df, k, salt_buckets=1)
-    a = sorted(tuple(r) for r in
-               salted.where(F.col("hrank") <= k).select("url", "hrank").collect())
-    b = sorted(tuple(r) for r in
-               plain.where(F.col("hrank") <= k).select("url", "hrank").collect())
+    kept_s, def_s = per_host_topk(df, k, salt_buckets=8)
+    kept_p, def_p = per_host_topk(df, k, salt_buckets=1)
+    a = sorted(tuple(r) for r in kept_s.select("url", "hrank").collect())
+    b = sorted(tuple(r) for r in kept_p.select("url", "hrank").collect())
     assert a == b and len(a) == 5 * k
+    assert def_s.count() == def_p.count() == 5 * 20 - 5 * k
 
 
 def test_global_sequence_matches_sorted_order(spark):

@@ -149,3 +149,54 @@ def bloom_anti_join(
     maybe = with_flag.where(F.col("_maybe")).drop("_maybe")
     checked = maybe.join(seen.select(url_col), url_col, "left_anti")
     return definitely_new.unionByName(checked)
+
+
+def bloom_anti_join_cogroup(
+    frontier: DataFrame,
+    seen: DataFrame,
+    segments: DataFrame,
+    url_col: str = "url",
+    m: int = DEFAULT_BITS,
+    k: int = DEFAULT_HASHES,
+    n_segments: int = DEFAULT_SEGMENTS,
+) -> DataFrame:
+    """Scale-path probe: NO driver collect, NO broadcast.
+
+    The frontier is shuffled by segment id and cogrouped with the segment
+    table, so each task holds exactly one segment's bit array (total bits /
+    n_segments) against its slice of the frontier — valid at 10^10 keys
+    where the 20 GB filter cannot be broadcast (docs/SCALE.md §3).
+    """
+    cols = frontier.columns
+    u = F.col(url_col)
+    tagged = frontier.select(
+        "*",
+        _segment_col(u, n_segments).alias("_seg"),
+        F.array(*_position_cols(u, m, k)).alias("_pos"),
+    )
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in frontier.schema.fields
+    ) + ", `_maybe` boolean"
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.drop(columns=["_seg", "_pos"])
+        if len(left) == 0 or len(right) == 0:
+            out["_maybe"] = False  # empty segment: everything definitely new
+            return out
+        bits = np.unpackbits(
+            np.frombuffer(bytes(right["bits"].iloc[0]), dtype=np.uint8))
+        pos = np.stack([np.asarray(p, dtype=np.int64) for p in left["_pos"]])
+        out["_maybe"] = (bits[pos] == 1).all(axis=1)
+        return out
+
+    flagged = (
+        tagged.groupby("_seg")
+        .cogroup(segments.withColumnRenamed("segment", "_seg").groupby("_seg"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    definitely_new = flagged.where(~F.col("_maybe")).select(*cols)
+    maybe = flagged.where(F.col("_maybe")).select(*cols)
+    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    return definitely_new.unionByName(checked)

@@ -147,6 +147,15 @@ class CrawlResult:
     def metrics(self) -> DataFrame | None:
         return self.state.read("metrics")
 
+    def host_budget(self) -> DataFrame | None:
+        deltas = self.state.read("host_budget")
+        if deltas is None:
+            return None
+        return deltas.groupBy("host").agg(
+            F.max("last_crawl_wave").alias("last_crawl_wave"),
+            F.sum("fetches").alias("fetches"),
+        )
+
 
 class CrawlEngine:
     """Drives the wave loop over DataFrame-native crawl state."""
@@ -436,6 +445,13 @@ class CrawlEngine:
             )
         )
 
+        # A3: per-host fetch accounting (append delta; read-side aggregates
+        # max(last_crawl_wave), sum(fetches) per host)
+        host_budget = scheduled.groupBy("host").agg(
+            F.lit(wave).alias("last_crawl_wave"),
+            F.count("*").cast("long").alias("fetches"),
+        )
+
         # 10. wave-atomic commit (lineage manifest last)
         tables = {
             "trace": trace,
@@ -444,6 +460,7 @@ class CrawlEngine:
             "frontier": next_frontier,
             "robots_cache": new_cache,
             "metrics": metrics,
+            "host_budget": host_budget,
         }
         if cfg.use_bloom:
             new_segs = bloom.build_segments(

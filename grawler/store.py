@@ -33,8 +33,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("seen", "store", "trace", "metrics")
-FULL_TABLES = ("frontier", "robots_cache", "host_budget", "bloom")
+APPEND_TABLES = ("seen", "store", "trace", "metrics", "host_budget")
+FULL_TABLES = ("frontier", "robots_cache", "bloom")
 
 
 class LocalSnapshotStore:

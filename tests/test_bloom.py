@@ -50,3 +50,16 @@ def test_merge_segment_sets(spark):
     want = sorted(r["url"] for r in
                   frontier.join(both, "url", "left_anti").collect())
     assert got == want
+
+
+def test_cogroup_probe_equals_broadcast(spark):
+    seen = _urls(spark, "a", 500)
+    frontier = _urls(spark, "a", 800).union(_urls(spark, "c", 300))
+    segs = bloom.build_segments(seen, m=1 << 14)
+    a = sorted(r["url"] for r in bloom.bloom_anti_join(
+        frontier, seen, segs, m=1 << 14).collect())
+    b = sorted(r["url"] for r in bloom.bloom_anti_join_cogroup(
+        frontier, seen, segs, m=1 << 14).collect())
+    want = sorted(r["url"] for r in
+                  frontier.join(seen, "url", "left_anti").collect())
+    assert a == b == want

@@ -49,6 +49,12 @@ def _assert_equal(res, o, web=None):
     ef = sorted(r["url"] for r in res.frontier().collect())
     of = sorted(r["url"] for r in o.frontier)
     assert ef == of
+    # A3 accounting: per-host fetch counts equal the oracle trace
+    from collections import Counter
+
+    hb = {r["host"]: r["fetches"] for r in res.host_budget().collect()}
+    want = Counter(h for (_, _, _, h, _) in o.trace)
+    assert hb == dict(want)
 
 
 def test_golden_mixed(spark, tiny_web, tmp_path):

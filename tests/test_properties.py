@@ -1,0 +1,75 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4) over random graphs.
+
+The oracle is cheap (pure Python), so hypothesis drives it across many
+random (seed, shape, size) combinations; the engine==oracle equality is
+established separately by the golden tests, making these invariants
+engine invariants too.
+"""
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from grawler import oracle, synthgen
+from grawler.conf import CrawlConfig
+
+CFG = CrawlConfig()
+SHAPES = ["mixed", "bfs-tree", "diamond", "hot-host", "deep-chain",
+          "robots-walled"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    shape=st.sampled_from(SHAPES),
+    n_pages=st.integers(30, 150),
+)
+def test_crawl_invariants(seed, shape, n_pages):
+    web = synthgen.generate(seed=seed, n_pages=n_pages, shape=shape)
+    res = oracle.crawl(web, CFG, max_waves=6)
+
+    # 1. every stored image was referenced by some seen page
+    seen_urls = set(res.seen)
+    referenced = set()
+    for r in web.pages.to_dict("records"):
+        if r["url"] in seen_urls:
+            referenced.update(r["image_ids"])
+    assert set(res.store) <= referenced
+
+    # 2. politeness: no host exceeds its token budget in any wave
+    per = Counter((w, h) for (w, _, _, h, _) in res.trace)
+    assert all(v <= CFG.host_tokens_per_wave for v in per.values())
+
+    # 3. frontier at end contains no seen urls
+    assert not ({r["url"] for r in res.frontier} & seen_urls)
+
+    # 4. no (url, wave) scheduled twice, and nothing is scheduled after
+    #    the wave where it succeeded (fail-then-retry may schedule a url
+    #    in several waves, success is terminal)
+    uw = [(u, w) for (w, _, u, _, _) in res.trace]
+    assert len(uw) == len(set(uw))
+    for (w, _, u, _, _) in res.trace:
+        if u in res.seen:
+            assert w <= res.seen[u]
+
+    # 5. seq dense and 0-based within each wave
+    by_wave = {}
+    for (w, s, *_rest) in res.trace:
+        by_wave.setdefault(w, []).append(s)
+    for w, seqs in by_wave.items():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+    # 6. seen waves consistent with trace
+    traced = {(u, w) for (w, _, u, _, _) in res.trace}
+    for u, w in res.seen.items():
+        assert (u, w) in traced
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_generator_deterministic(seed):
+    a = synthgen.generate(seed=seed, n_pages=50, shape="mixed")
+    b = synthgen.generate(seed=seed, n_pages=50, shape="mixed")
+    assert a.pages.equals(b.pages)
+    assert a.images.equals(b.images)
+    assert list(a.seeds["url"]) == list(b.seeds["url"])

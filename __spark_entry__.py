@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_store": q_crawl_store,
         "crawl_seen": q_crawl_seen,
         "crawl_trace": q_crawl_trace,
+        "crawl_pages_meta": q_crawl_pages_meta,
         "img_phash": q_img_phash,
         "img_resize": q_img_resize,
         "img_features": q_img_features,
@@ -703,3 +704,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, s.session_id
         """,
     }
+
+
+def q_crawl_pages_meta(spark, sf_dir):
+    """F8/K1 document-shape parity: extracted page metadata (title,
+    description, site_name, icon) persisted per crawled page."""
+    return _crawl_result(spark).pages_meta().select(
+        "url", "title", "description", "site_name", "icon")

@@ -81,7 +81,7 @@ def parse_doc_udf(
     html: pd.Series, base_url: pd.Series, host: pd.Series, ctype: pd.Series
 ) -> pd.DataFrame:
     # import inside the UDF: executed on workers
-    from .htmlparse import parse_html
+    from .htmlparse import normalize_text, parse_html
 
     rows = []
     for h, b, ho, ct in zip(html, base_url, host, ctype):
@@ -95,7 +95,11 @@ def parse_doc_udf(
                 )
             )
         else:
-            rows.append(([], [], None, None, ho, None))
+            # text/plain: C6 defaulting (utils.go:123-141): title/description
+            # from the normalized content, site_name from host
+            content = normalize_text(h)
+            rows.append(([], [], content[:60] or None,
+                         content[:160] or None, ho, None))
     return pd.DataFrame(
         rows,
         columns=["child_urls", "images", "title", "description",
@@ -146,6 +150,9 @@ class CrawlResult:
 
     def metrics(self) -> DataFrame | None:
         return self.state.read("metrics")
+
+    def pages_meta(self) -> DataFrame | None:
+        return self.state.read("pages_meta")
 
     def host_budget(self) -> DataFrame | None:
         deltas = self.state.read("host_budget")
@@ -337,6 +344,18 @@ class CrawlEngine:
             F.xxhash64("url").alias("url_hash"),
             F.lit(wave).alias("first_wave"),
         )
+        # F8/K1 document-shape parity: the reference persists
+        # (Url, ParentUrl, MetaData, Response, Timestamp) per page
+        # (src/db/db.go:46-69); the engine keeps the extracted metadata in
+        # pages_meta (the *payload* sink is the image store per the graft)
+        pages_meta = parsed.select(
+            "url",
+            F.col("doc.title").alias("title"),
+            F.col("doc.description").alias("description"),
+            F.col("doc.site_name").alias("site_name"),
+            F.col("doc.icon").alias("icon"),
+            F.lit(wave).alias("wave"),
+        )
         seen_all = seen.select("url").unionByName(seen_delta.select("url"))
 
         # 7. F1/F2/F6/J4 — children: explode, canonicalize, filter, dedup
@@ -461,6 +480,7 @@ class CrawlEngine:
             "robots_cache": new_cache,
             "metrics": metrics,
             "host_budget": host_budget,
+            "pages_meta": pages_meta,
         }
         if cfg.use_bloom:
             new_segs = bloom.build_segments(

@@ -52,6 +52,7 @@ class OracleResult:
     trace: list = field(default_factory=list)   # (wave, seq, url, host, depth)
     seen: dict = field(default_factory=dict)    # url -> first_wave
     store: dict = field(default_factory=dict)   # image_id -> row dict
+    pages_meta: dict = field(default_factory=dict)  # url -> metadata dict
     frontier: list = field(default_factory=list)
     waves: int = 0
     metrics: list = field(default_factory=list)
@@ -163,9 +164,20 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
             if ctype == "text/html":
                 doc = parse_html(page["html"], base_url, host)
             else:
-                doc = {"child_urls": [], "images": []}
+                from .htmlparse import normalize_text
+
+                content = normalize_text(page["html"])
+                doc = {"child_urls": [], "images": [],
+                       "title": content[:60] or None,
+                       "description": content[:160] or None,
+                       "site_name": host, "icon": None}
             parsed += 1
             res.seen[r["url"]] = wave
+            res.pages_meta[r["url"]] = {
+                "title": doc["title"], "description": doc["description"],
+                "site_name": doc["site_name"], "icon": doc["icon"],
+                "wave": wave,
+            }
             parsed_docs.append((r, base_url, doc))
 
         new_children: dict = {}

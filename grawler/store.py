@@ -33,7 +33,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("seen", "store", "trace", "metrics", "host_budget")
+APPEND_TABLES = ("seen", "store", "trace", "metrics", "host_budget",
+                 "pages_meta")
 FULL_TABLES = ("frontier", "robots_cache", "bloom")
 
 

@@ -245,6 +245,17 @@ def _render_html(i: int, host: str, hrefs: list[str], image_ids: list[str],
     )
 
 
+def load_seed_list(spark, path: str):
+    """S2: load a reference-format seed file {"seed_list": [url, ...]}
+    (src/jsonData/jsonData.go:15-40) into a seeds DataFrame."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.option("multiLine", "true").json(path)
+        .select(F.explode("seed_list").alias("url"))
+    )
+
+
 def spark_tables(spark, web: SynthWeb):
     """Create the Spark-side input DataFrames from a SynthWeb."""
     from . import schemas

@@ -40,12 +40,20 @@ def main():
     ap.add_argument("--seeds")
     args = ap.parse_args()
 
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
     from grawler.conf import CrawlConfig
     from grawler.engine import CrawlEngine, build_engine
 
-    spark = SparkSession.builder.appName("grawler-crawl").getOrCreate()
+    if SparkConf().get("spark.master", None):
+        # under spark-submit: respect the submitted master/conf
+        spark = SparkSession.builder.appName("grawler-crawl").getOrCreate()
+    else:
+        # standalone `python jobs/crawl.py`: local session
+        from grawler.session import get_spark
+
+        spark = get_spark("grawler-crawl")
     cfg = CrawlConfig()
 
     if args.synthetic:

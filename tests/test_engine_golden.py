@@ -55,6 +55,15 @@ def _assert_equal(res, o, web=None):
     hb = {r["host"]: r["fetches"] for r in res.host_budget().collect()}
     want = Counter(h for (_, _, _, h, _) in o.trace)
     assert hb == dict(want)
+    # F8/K1 document-shape parity: extracted metadata per seen page
+    pm = {
+        r["url"]: (r["title"], r["description"], r["site_name"], r["icon"])
+        for r in res.pages_meta().collect()
+    }
+    assert set(pm) == set(o.pages_meta)
+    for u, m in o.pages_meta.items():
+        assert pm[u] == (m["title"], m["description"], m["site_name"],
+                         m["icon"]), u
 
 
 def test_golden_mixed(spark, tiny_web, tmp_path):
@@ -111,3 +120,16 @@ def test_bloom_on_off_equivalent(spark, tmp_path):
     sa = sorted(r["url"] for r in r_on.seen().collect())
     sb = sorted(r["url"] for r in r_off.seen().collect())
     assert sa == sb
+
+
+def test_seed_list_json_loader(spark, tmp_path):
+    """S2: reference-format {"seed_list": [...]} file (jsonData.go:15-40)."""
+    import json
+
+    from grawler.synthgen import load_seed_list
+
+    p = tmp_path / "seed_list.json"
+    urls = ["http://a.example/", "https://b.example/p/1"]
+    p.write_text(json.dumps({"seed_list": urls}, indent=1))
+    got = sorted(r["url"] for r in load_seed_list(spark, str(p)).collect())
+    assert got == sorted(urls)

@@ -118,6 +118,90 @@ def bench_store(spark) -> tuple[float, float]:
     return dt, n / dt
 
 
+def synth_pages_distributed(spark, n: int, n_images: int = 1000):
+    """Distributed pages table (spark.range, no driver data): every page is
+    a small HTML doc with 3 links + 1 image ref assembled natively."""
+    from grawler import synthgen
+    import pandas as pd
+
+    host = F.concat(F.lit("host-"),
+                    F.pmod(F.xxhash64("id"), F.lit(5000)).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), "id")
+
+    def link(k):
+        child = F.pmod(F.col("id") * (3 + k) + k + 1, F.lit(n))
+        return F.concat(F.lit('<a href="http://'),
+                        F.concat(F.lit("host-"),
+                                 F.pmod(F.xxhash64(child), F.lit(5000))
+                                 .cast("string"), F.lit(".example")),
+                        F.lit("/p/"), child, F.lit('">c</a>'))
+
+    img_id = F.format_string(
+        "img-%06d-0", F.pmod("id", F.lit(n_images)).cast("int"))
+    html = F.concat(
+        F.lit("<html><head><title>p</title></head><body>"),
+        link(0), link(1), link(2),
+        F.lit('<img src="/img/'), img_id, F.lit('.rgb8" alt="cap">'),
+        F.lit("</body></html>"),
+    )
+    pages = spark.range(n).select(
+        url.alias("url"), host.alias("host"),
+        F.lit(200).cast("short").alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(10).alias("fetch_latency_ms"), html.alias("html"),
+        F.array().cast("array<string>").alias("child_urls"),
+        F.array().cast("array<string>").alias("image_ids"),
+    )
+    rows = []
+    for i in range(n_images):
+        iid = f"img-{i:06d}-0"
+        px, _, caption = synthgen.gen_image(iid, i)
+        rows.append((iid, codecs_encode(px), px.shape[1], px.shape[0],
+                     "rgb8", caption))
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                    "caption"]))
+    robots = spark.createDataFrame(
+        [("host-x.example", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string",
+    ).withColumn("fetched_ts", F.current_timestamp())
+    frontier_urls = pages.select("url")
+    return pages, robots, images, frontier_urls
+
+
+def codecs_encode(px):
+    from grawler import codecs
+
+    return codecs.encode(px, "rgb8")
+
+
+def bench_wave(spark, n: int = 100_000) -> tuple[float, float]:
+    """One full engine wave over a distributed synthetic web: schedule ->
+    fetch-sim join -> parse UDF -> children -> image decode+store ->
+    wave-atomic commit. URLs/s includes everything a crawl wave does."""
+    import shutil
+    import tempfile
+
+    from grawler.conf import CrawlConfig
+    from grawler.engine import CrawlEngine
+
+    pages, robots, images, seeds = synth_pages_distributed(spark, n)
+    cfg = CrawlConfig(wave_cap=n, wave_duration_ms=700 * n)  # no cap binds
+    wh = tempfile.mkdtemp(prefix="grawler_bench_wave_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, images, wh, cfg,
+                          robots_cache_init=robots)
+        t0 = time.time()
+        eng.run(seeds, max_waves=1)
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        eng.pages.unpersist(); eng.robots_truth.unpersist()
+        eng.images.unpersist()
+    return dt, n / dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -146,6 +230,11 @@ def main():
     timings["crawl_frontier_1m"] = round(f_dt, 3)
     s_dt, s_rate = bench_store(spark)
     timings["img_store_decode"] = round(s_dt, 3)
+    w_rate = None
+    if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
+        w_dt, w_rate = bench_wave(
+            spark, int(os.environ.get("GRAWLER_BENCH_WAVE", "100000")))
+        timings["crawl_full_wave_100k"] = round(w_dt, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -156,6 +245,7 @@ def main():
         "sf": sf,
         "frontier_urls_per_sec": round(f_rate),
         "store_rows_per_sec": round(s_rate),
+        "full_wave_urls_per_sec": round(w_rate) if w_rate else None,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }))
 

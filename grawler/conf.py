@@ -43,6 +43,9 @@ class CrawlConfig:
     bloom_segments: int = 64
     bloom_m: int = 1 << 17               # bits per segment; size up at scale
     bloom_num_hashes: int = 4
+    # above this total filter size the probe switches from the broadcast
+    # path to the cogroup path (no driver collect; docs/SCALE.md §3)
+    bloom_broadcast_max_bytes: int = 64 << 20
     # deterministic wave clock origin (epoch seconds); frozen per wave
     clock_origin_s: int = 1_700_000_000
 

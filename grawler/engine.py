@@ -238,7 +238,13 @@ class CrawlEngine:
         # unseen rows around the shuffle (north_star: partitioned xxhash64
         # bloom; exactness preserved — see grawler.bloom)
         if cfg.use_bloom and bloom_segments is not None:
-            cand = bloom.bloom_anti_join(
+            total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
+            probe = (
+                bloom.bloom_anti_join
+                if total_bytes <= cfg.bloom_broadcast_max_bytes
+                else bloom.bloom_anti_join_cogroup
+            )
+            cand = probe(
                 frontier, seen, bloom_segments,
                 m=cfg.bloom_m, k=cfg.bloom_num_hashes,
                 n_segments=cfg.bloom_segments,

@@ -133,3 +133,25 @@ def test_seed_list_json_loader(spark, tmp_path):
     p.write_text(json.dumps({"seed_list": urls}, indent=1))
     got = sorted(r["url"] for r in load_seed_list(spark, str(p)).collect())
     assert got == sorted(urls)
+
+
+def test_cogroup_bloom_engine_equivalent(spark, tmp_path):
+    """Forcing the cogroup probe path (broadcast threshold 0) must give
+    identical results to the broadcast path."""
+    import dataclasses
+
+    web = synthgen.generate(seed=13, n_pages=60, shape="mixed")
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    cfg_cg = dataclasses.replace(CFG, bloom_m=1 << 14,
+                                 bloom_broadcast_max_bytes=0)
+    cfg_bc = dataclasses.replace(CFG, bloom_m=1 << 14)
+    e1, s1 = build_engine(spark, web, str(a_dir), cfg_cg)
+    r1 = e1.run(s1, max_waves=3)
+    e2, s2 = build_engine(spark, web, str(b_dir), cfg_bc)
+    r2 = e2.run(s2, max_waves=3)
+    a = sorted(map(tuple, r1.trace().collect()))
+    b = sorted(map(tuple, r2.trace().collect()))
+    assert a == b
+    sa = sorted(r["url"] for r in r1.seen().collect())
+    sb = sorted(r["url"] for r in r2.seen().collect())
+    assert sa == sb

@@ -14,8 +14,11 @@ dedup_*/sim_*/text_* = training-data ops, crawl_*/img_* = crawl domain).
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # grawler/
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window

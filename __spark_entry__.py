@@ -145,6 +145,30 @@ def q_f7_content_filter(spark, sf_dir):
     ).select("event_id", "user_id", "event_type")
 
 
+def q_f5_robots_filter(spark, sf_dir):
+    """F5: the real vectorized robots matcher over deterministic rule
+    fixtures (single-prefix Disallow, full wall for the grawler UA, and
+    allow-all) -- simple enough that SQL can state the expected verdicts."""
+    from grawler.robots import make_agent_allowed_udf
+
+    d = _read(spark, sf_dir, "documents")
+    robots_txt = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("User-agent: *\nDisallow: /private/\n"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit("User-agent: grawler\nDisallow: /\n\n"
+                    "User-agent: *\nAllow: /\n"))
+        .otherwise(F.lit("User-agent: *\nAllow: /\n"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("/private/doc/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/doc/"), F.col("doc_id")))
+    )
+    allowed = make_agent_allowed_udf("grawler")(robots_txt, path)
+    return d.select("doc_id", path.alias("path"), allowed.alias("allowed"))
+
+
 def q_j2_robots_broadcast(spark, sf_dir):
     """J2: broadcast dimension join (robots-by-host shape,
     src/db/db.go:85): customer x nation x region rollup."""
@@ -466,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_politeness_topk": q_f4_politeness_topk,
         "f6_child_normalize": q_f6_child_normalize,
         "f7_content_filter": q_f7_content_filter,
+        "f5_robots_filter": q_f5_robots_filter,
         "j2_robots_broadcast": q_j2_robots_broadcast,
         "a1_word_freq": q_a1_word_freq,
         "a3_host_accounting": q_a3_host_accounting,
@@ -561,6 +586,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type FROM events
             WHERE lower(trim(event_type)) IN ('click','view','purchase')
               AND value <= 400.0
+        """,
+        "f5_robots_filter": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN '/private/doc/' || doc_id
+                        ELSE '/doc/' || doc_id END AS path,
+                   CASE WHEN doc_id % 3 = 1 THEN false
+                        WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN false
+                        ELSE true END AS allowed
+            FROM documents
         """,
         "j2_robots_broadcast": """
             SELECT r_name AS region, n_name AS nation,

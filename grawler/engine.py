@@ -349,7 +349,7 @@ class CrawlEngine:
         # would otherwise each recompute the fetch join + parse UDF while
         # the cache is still being populated (measured 4x redundant parse
         # at 100k urls/wave). One pass here fills fetched+parsed caches.
-        parsed.count()
+        n_parsed = parsed.count()
 
         seen_delta = parsed.select(
             "url",
@@ -475,6 +475,12 @@ class CrawlEngine:
                 F.col("wall_ms").cast("long"),
             )
         )
+        # wave-summary row (partition_id = -1) from already-paid counts
+        summary = spark.createDataFrame(
+            [(wave, -1, n_scheduled, 0, n_parsed, 0, 0, 0, 0)],
+            schemas.METRICS,
+        )
+        metrics = metrics.unionByName(summary)
 
         # A3: per-host fetch accounting (append delta; read-side aggregates
         # max(last_crawl_wave), sum(fetches) per host)

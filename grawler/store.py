@@ -67,10 +67,17 @@ class LocalSnapshotStore:
         # independent tables write concurrently (inputs are persisted or
         # disjoint); Spark's scheduler interleaves the jobs, cutting the
         # per-wave commit wall clock ~2-3x. The manifest still lands last.
+        # Longest jobs (frontier: children pipeline; store: image decode)
+        # are submitted first so the pool's critical path starts at t=0.
         from concurrent.futures import ThreadPoolExecutor
 
+        order = sorted(
+            tables.items(),
+            key=lambda kv: {"frontier": 0, "store": 1, "bloom": 2}.get(
+                kv[0], 9),
+        )
         with ThreadPoolExecutor(max_workers=4) as pool:
-            for name, entry in pool.map(write_one, list(tables.items())):
+            for name, entry in pool.map(write_one, order):
                 entries[name] = entry
         manifest = {
             "wave": wave,

@@ -317,6 +317,19 @@ def q_sim_ann_lsh(spark, sf_dir):
         "rank", F.col("rank").cast("long"))
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF ANN top-5 (KMeans coarse quantizer + probe-3 rerank; rows-only,
+    recall + exact-limit asserted in tests/test_similarity.py)."""
+    from grawler.operators.similarity import ann_ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("embedding"))
+    q = ed.where(F.col("vec_id") < 8)
+    return ann_ivf_topk(ed, q, k=5, n_lists=16, n_probe=3).withColumn(
+        "rank", F.col("rank").cast("long"))
+
+
 def q_text_token_count(spark, sf_dir):
     from grawler.operators.textstats import token_count
 
@@ -503,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

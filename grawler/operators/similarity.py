@@ -158,6 +158,80 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: KMeans (pyspark.ml) coarse quantizer partitions the
+    corpus into n_lists inverted lists; each query probes its n_probe
+    nearest centroids and reranks by exact cosine within those lists only.
+
+    The scan shrinks from |Q| x |N| to |Q| x (n_probe/n_lists) x |N|;
+    recall rises with n_probe (n_probe == n_lists -> exact).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    train = base.select(array_to_vector("nv").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_lists(vec_col_name: str, n: int):
+        """Native expr: ids of the n nearest centroids by L2 distance."""
+        dists = F.array(*[
+            F.struct(
+                sum(
+                    (F.element_at(F.col(vec_col_name), i + 1) - float(w))
+                    * (F.element_at(F.col(vec_col_name), i + 1) - float(w))
+                    for i, w in enumerate(c)
+                ).alias("d"),
+                F.lit(ci).alias("list_id"),
+            )
+            for ci, c in enumerate(centers)
+        ])
+        return F.slice(F.array_sort(dists), 1, n)
+
+    listed = base.withColumn(
+        "list_id", nearest_lists("nv", 1)[0]["list_id"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "list_id",
+        F.explode(F.transform(nearest_lists("qv", n_probe),
+                              lambda s: s["list_id"])),
+    )
+    cand = (
+        q.join(listed, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("nv"))
+        / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     dim: int,

@@ -66,3 +66,26 @@ def test_embedding_neardup_no_false_positives(spark):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert sims[r["id_a"], r["id_b"]] >= 0.8 - 1e-9
+
+
+def test_ann_ivf_recall_and_exact_limit(spark):
+    df, vecs = _emb(spark, n=120, dim=16, seed=7)
+    q = df.where("vec_id < 10")
+    exact = _numpy_topk(vecs, range(10), 3)
+    got = {}
+    for r in similarity.ann_ivf_topk(df, q, k=3, n_lists=8,
+                                     n_probe=3).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(10):
+        want = {j for j, _ in exact[qid]}
+        hits += len(want & got.get(qid, set()))
+        total += len(want)
+    assert hits / total >= 0.5
+    # probing every list == exact brute force
+    full = {}
+    for r in similarity.ann_ivf_topk(df, q, k=3, n_lists=8,
+                                     n_probe=8).collect():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in range(10):
+        assert full[qid] == {j for j, _ in exact[qid]}

@@ -155,3 +155,13 @@ def test_cogroup_bloom_engine_equivalent(spark, tmp_path):
     sa = sorted(r["url"] for r in r1.seen().collect())
     sb = sorted(r["url"] for r in r2.seen().collect())
     assert sa == sb
+
+
+@pytest.mark.parametrize("shape,seed,waves", [
+    ("robots-walled", 7, 3),
+    ("deep-chain", 21, 5),
+])
+def test_golden_other_shapes(spark, tmp_path, shape, seed, waves):
+    web = synthgen.generate(seed=seed, n_pages=60, shape=shape)
+    res, o = _run_both(spark, web, tmp_path, max_waves=waves)
+    _assert_equal(res, o, web)

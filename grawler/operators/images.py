@@ -51,13 +51,14 @@ def resize(df: DataFrame, out_w: int = 16, out_h: int = 16,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, r in pdf.iterrows():
+            for iid, raw, fmt in zip(pdf["image_id"], pdf[bytes_col],
+                                     pdf[fmt_col]):
                 try:
-                    px = codecs.decode(bytes(r[bytes_col]), r[fmt_col])
+                    px = codecs.decode(bytes(raw), fmt)
                     small = _block_mean_resize(px, out_w, out_h)
                     out_rows.append(
-                        (r["image_id"], codecs.encode_rgb8(small),
-                         out_w, out_h, "rgb8"))
+                        (iid, codecs.encode_rgb8(small), out_w, out_h,
+                         "rgb8"))
                 except Exception:
                     continue
             yield pd.DataFrame(
@@ -74,9 +75,10 @@ def features(df: DataFrame, bytes_col: str = "bytes",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
-            for _, r in pdf.iterrows():
+            for iid, raw, fmt in zip(pdf["image_id"], pdf[bytes_col],
+                                     pdf[fmt_col]):
                 try:
-                    px = codecs.decode(bytes(r[bytes_col]), r[fmt_col])
+                    px = codecs.decode(bytes(raw), fmt)
                 except Exception:
                     continue
                 fpx = px.astype(np.float64)
@@ -85,7 +87,7 @@ def features(df: DataFrame, bytes_col: str = "bytes",
                 luma = fpx @ np.array([0.299, 0.587, 0.114])
                 hist, _ = np.histogram(luma, bins=8, range=(0, 255))
                 hist = hist / max(1, luma.size)
-                ids.append(r["image_id"])
+                ids.append(iid)
                 vecs.append([float(x) for x in
                              np.concatenate([mean, std, hist])])
             yield pd.DataFrame({"image_id": ids, "features": vecs})

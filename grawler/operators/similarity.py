@@ -8,15 +8,24 @@
                    the cross join shrinks from |Q|x|N| to bucket-local
   embedding_neardup  pairs with cosine >= threshold via the same buckets
 
-Hyperplanes are generated driver-side (seeded numpy) and folded into native
-expressions, so signatures are computed without Python workers.
+Hyperplanes/centroids are generated driver-side (seeded numpy) and applied in
+ONE Arrow-vectorized matrix pass per batch (`sign(V @ P.T)` / distance-to-
+centroid argsort). An earlier version inlined them as per-dimension Catalyst
+expressions; at realistic embedding dims (512-1536) that builds tables x bits
+x dim expression nodes and blows past the 64KB JVM codegen method limit —
+the batched numpy matmul is the right Python boundary here (still zero
+per-row Python). Scoring/rerank stays native (zip_with/aggregate, which are
+loop-based exprs, not per-dim inlined).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 def _dot(a, b):
@@ -82,20 +91,26 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 11):
     return rng.standard_normal((tables, bits, dim))
 
 
-def _signature_expr(vec_col, planes: np.ndarray):
-    """Native expression: sign-bit signature for one table's hyperplanes."""
-    bits = []
-    for plane in planes:
-        dot = sum(
-            F.element_at(F.col(vec_col), i + 1) * float(w)
-            for i, w in enumerate(plane)
-            if w != 0.0
-        )
-        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = F.lit(0)
-    for b in bits:
-        sig = sig * 2 + b
-    return sig
+def _signatures_udf(planes: np.ndarray):
+    """Arrow-batched sign-LSH signatures: one numpy matmul per batch.
+
+    planes is (tables, bits, dim); returns array<long> of one signature per
+    table (bit order MSB-first, matching sig = sig*2 + bit).
+    """
+    tables, bits, dim = planes.shape
+    P = planes.reshape(tables * bits, dim)
+    weights = (np.int64(1) << np.arange(bits - 1, -1, -1, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(v.to_numpy())                       # (n, dim)
+        B = (M @ P.T) > 0                                # (n, tables*bits)
+        S = B.reshape(len(v), tables, bits).astype(np.int64) @ weights
+        return pd.Series(list(S))
+
+    return sigs
 
 
 def with_lsh_buckets(
@@ -108,9 +123,9 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """(.., bucket_table, bucket_sig) exploded — one row per LSH table."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    sigs = F.array(*[_signature_expr(vec_col, planes[t]) for t in range(tables)])
-    return df.select(
-        "*", F.posexplode(sigs).alias("bucket_table", "bucket_sig")
+    sig = _signatures_udf(planes)
+    return df.withColumn("_sigs", sig(F.col(vec_col))).select(
+        *df.columns, F.posexplode("_sigs").alias("bucket_table", "bucket_sig")
     )
 
 
@@ -178,39 +193,38 @@ def ann_ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
     train = base.select(array_to_vector("nv").alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = np.array([[float(x) for x in c] for c in model.clusterCenters()])
 
-    def nearest_lists(vec_col_name: str, n: int):
-        """Native expr: ids of the n nearest centroids by L2 distance."""
-        dists = F.array(*[
-            F.struct(
-                sum(
-                    (F.element_at(F.col(vec_col_name), i + 1) - float(w))
-                    * (F.element_at(F.col(vec_col_name), i + 1) - float(w))
-                    for i, w in enumerate(c)
-                ).alias("d"),
-                F.lit(ci).alias("list_id"),
-            )
-            for ci, c in enumerate(centers)
-        ])
-        return F.slice(F.array_sort(dists), 1, n)
+    def nearest_lists_udf(n: int):
+        """Arrow-batched: ids of the n nearest centroids by L2 distance
+        (ties -> lower list_id, via stable argsort)."""
+        C = centers
+        c_sq = (C * C).sum(axis=1)
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype=object)
+            M = np.stack(v.to_numpy())
+            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(idx))
+
+        return nearest
 
     listed = base.withColumn(
-        "list_id", nearest_lists("nv", 1)[0]["list_id"])
+        "list_id", F.element_at(nearest_lists_udf(1)(F.col("nv")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn(
-        "list_id",
-        F.explode(F.transform(nearest_lists("qv", n_probe),
-                              lambda s: s["list_id"])),
+        "list_id", F.explode(nearest_lists_udf(n_probe)(F.col("qv"))),
     )
     cand = (
         q.join(listed, "list_id")

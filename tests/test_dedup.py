@@ -1,7 +1,6 @@
 """Dedup operator correctness vs numpy/pure-Python oracles."""
 
 import re
-import zlib
 
 import numpy as np
 import pytest
@@ -78,22 +77,36 @@ def test_simhash_exact_dups_zero_hamming(spark):
     assert pairs.get((3, 5)) == 0
 
 
-def test_simhash_udf_matches_numpy_oracle(spark):
-    texts = ["alpha beta gamma", "alpha beta gamma delta"]
+def test_simhash_matches_numpy_oracle(spark):
+    """Voting/bit-pack logic vs a numpy oracle. Per-token hashes are taken
+    from Spark's own xxhash64 (simhash has no canonical hash function — the
+    oracle checks the simhash *math* given those hashes), including the
+    repeated-token weighting and the empty-document -> 0 case."""
+    import pyspark.sql.functions as F
+
+    texts = ["alpha beta gamma", "alpha beta gamma delta",
+             "alpha alpha alpha beta", "...!!!"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id long, text string")
-    got = {r["doc_id"]: r["sh"] for r in df.select(
-        "doc_id", dedup.simhash64_udf("text").alias("sh")).collect()}
+    got = {r["id"]: r["sh"] for r in dedup.simhash_signatures(df).collect()}
+    all_toks = sorted({t for s in texts for t in re.findall(r"\w+", s.lower())})
+    hmap = {
+        r["tok"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in all_toks],
+                                       "tok string")
+        .select("tok", F.xxhash64("tok").alias("h")).collect()
+    }
     for i, t in enumerate(texts):
         toks = re.findall(r"\w+", t.lower())
-        v = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = (zlib.crc32(tok.encode(), 0xABCD1234) << 32) | zlib.crc32(
-                tok.encode())
-            for bit in range(64):
-                v[bit] += 1 if (h >> bit) & 1 else -1
+        if not toks:
+            assert got[i] == 0
+            continue
+        hs = np.array([hmap[tok] for tok in toks],
+                      dtype=np.int64).view(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64)
+        v = (2 * bits - 1).sum(axis=0)
         fp = np.uint64(0)
         for bit in np.nonzero(v > 0)[0]:
             fp |= np.uint64(1) << np.uint64(bit)
-        assert got[i] == np.int64(fp.view(np.int64) if hasattr(fp, 'view')
-                                  else fp)
+        assert got[i] == np.int64(fp.view(np.int64)), i

@@ -68,6 +68,41 @@ def test_embedding_neardup_no_false_positives(spark):
         assert sims[r["id_a"], r["id_b"]] >= 0.8 - 1e-9
 
 
+def test_ann_high_dim_512(spark):
+    """Realistic embedding dim: signatures/centroid distances are computed
+    in one Arrow matrix pass, so dim 512 must work (the earlier per-dim
+    inlined expressions blew past the JVM codegen method limit) and keep
+    recall. IVF probe-all must still equal exact brute force."""
+    # clustered vectors: at dim 512, i.i.d. gaussians are all near-orthogonal
+    # (no true neighbors for ANY method to find); real embeddings cluster.
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((30, 512))
+    vecs = np.repeat(centers, 5, axis=0) + 0.15 * rng.standard_normal(
+        (150, 512))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5")
+    exact = _numpy_topk(vecs, range(5), 3)
+
+    got = {}
+    for r in similarity.ann_lsh_topk(df, q, dim=512, k=3, bits=8,
+                                     tables=12).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(5):
+        want = {j for j, _ in exact[qid]}
+        hits += len(want & got.get(qid, set()))
+        total += len(want)
+    assert hits / total >= 0.4
+
+    full = {}
+    for r in similarity.ann_ivf_topk(df, q, k=3, n_lists=8,
+                                     n_probe=8).collect():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in range(5):
+        assert full[qid] == {j for j, _ in exact[qid]}
+
+
 def test_ann_ivf_recall_and_exact_limit(spark):
     df, vecs = _emb(spark, n=120, dim=16, seed=7)
     q = df.where("vec_id < 10")

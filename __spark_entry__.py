@@ -398,6 +398,27 @@ def q_crawl_trace(spark, sf_dir):
     return _crawl_result(spark).trace()
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Final frontier state after 3 waves (deferred + undiscovered-depth
+    rows) — exercises the merge-table delta/compaction read path."""
+    return _crawl_result(spark).frontier().select(
+        "url", "parent_url", "host", "depth", "priority", "wave")
+
+
+def q_crawl_host_budget(spark, sf_dir):
+    """A3 per-host fetch accounting aggregated over the crawl."""
+    return _crawl_result(spark).host_budget().select(
+        "host", "last_crawl_wave", "fetches")
+
+
+def q_crawl_metrics(spark, sf_dir):
+    """A4 wave-summary metrics (scheduled/fetched/parsed/deduped/stored/
+    errors) — the oracle-comparable observability rows."""
+    return _crawl_result(spark).metrics().where("partition_id = -1").select(
+        "wave", "scheduled", "fetched", "parsed", "deduped", "stored",
+        "errors")
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Structured Streaming: watermarked tumbling-window agg over events
     (availableNow => equals the batch aggregation, so DuckDB oracles it)."""
@@ -525,12 +546,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen": q_crawl_seen,
         "crawl_trace": q_crawl_trace,
         "crawl_pages_meta": q_crawl_pages_meta,
+        "crawl_frontier": q_crawl_frontier,
+        "crawl_host_budget": q_crawl_host_budget,
+        "crawl_metrics": q_crawl_metrics,
         "img_phash": q_img_phash,
         "img_resize": q_img_resize,
         "img_features": q_img_features,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessionize": q_stream_sessionize,
     }
+
+
+# ---------------------------------------------------------------------------
+# VALUES-literal oracles: the crawl_*/img_* entries are pure functions of
+# synthgen seed 42; their expected rows are generated ONCE by the independent
+# pure-Python oracle (tools/gen_value_oracles.py -> grawler/entry_expected.
+# json) and rendered here as literal SQL, so the driver hash-checks them
+# instead of recording rows-only.
+# ---------------------------------------------------------------------------
+
+_EXPECTED_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "grawler",
+    "entry_expected.json")
+
+
+def _values_sql(spec: dict) -> str:
+    cols, types, rows = spec["columns"], spec["types"], spec["rows"]
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "VARCHAR":
+            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
+        if t == "BOOLEAN":
+            return f"CAST({'TRUE' if v else 'FALSE'} AS BOOLEAN)"
+        if t == "DOUBLE":
+            return f"CAST({float(v)!r} AS DOUBLE)"
+        return f"CAST({v} AS {t})"
+
+    body = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")"
+        for r in rows
+    )
+    return (f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})")
+
+
+def _values_oracles() -> dict[str, str]:
+    import json
+
+    with open(_EXPECTED_JSON) as f:
+        return {name: _values_sql(spec) for name, spec in json.load(f).items()}
 
 
 _WORD = r"\w+"
@@ -557,7 +622,8 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN {score[lang]} > 0 AND {score[lang]} = {best} "
             f"THEN '{lang}' ELSE {langid_expr} END"
         )
-    return {
+    out = _values_oracles()
+    out.update({
         "f1_url_components": f"""
             SELECT doc_id, url,
                    regexp_extract(url, '{_URL_RE}', 1) AS scheme,
@@ -752,11 +818,13 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM s GROUP BY user_id, s.session_id
         """,
-    }
+    })
+    return out
 
 
 def q_crawl_pages_meta(spark, sf_dir):
-    """F8/K1 document-shape parity: extracted page metadata (title,
-    description, site_name, icon) persisted per crawled page."""
+    """F8/K1 document-shape parity: extracted page metadata + visible text
+    (InsertDocument.Content, reference src/common/common.go:50) persisted
+    per crawled page."""
     return _crawl_result(spark).pages_meta().select(
-        "url", "title", "description", "site_name", "icon")
+        "url", "title", "description", "site_name", "icon", "content")

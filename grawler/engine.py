@@ -50,7 +50,12 @@ from .scheduler import schedule_wave
 from .store import LocalSnapshotStore
 from .urlnorm import allow_predicate, canonicalize_udf
 
-FRONTIER_COLS = ["url", "parent_url", "host", "depth", "priority", "wave"]
+FRONTIER_COLS = ["url", "parent_url", "host", "depth", "priority", "wave",
+                 "path"]
+# non-key frontier column types, for null-padded 'remove' delta rows
+_FRONTIER_NULLS = [("parent_url", "string"), ("host", "string"),
+                   ("depth", "int"), ("priority", "int"), ("wave", "int"),
+                   ("path", "string")]
 
 IMG_ID_PATTERN = r"/img/(img-\d{6}-\d+)\."
 
@@ -72,6 +77,7 @@ DOC_SCHEMA = StructType(
         StructField("description", StringType()),
         StructField("site_name", StringType()),
         StructField("icon", StringType()),
+        StructField("content", StringType()),
     ]
 )
 
@@ -92,6 +98,7 @@ def parse_doc_udf(
                     d["child_urls"],
                     [(i["src"], i["caption"]) for i in d["images"]],
                     d["title"], d["description"], d["site_name"], d["icon"],
+                    d["content"],
                 )
             )
         else:
@@ -99,11 +106,11 @@ def parse_doc_udf(
             # from the normalized content, site_name from host
             content = normalize_text(h)
             rows.append(([], [], content[:60] or None,
-                         content[:160] or None, ho, None))
+                         content[:160] or None, ho, None, content))
     return pd.DataFrame(
         rows,
         columns=["child_urls", "images", "title", "description",
-                 "site_name", "icon"],
+                 "site_name", "icon", "content"],
     )
 
 
@@ -274,16 +281,18 @@ class CrawlEngine:
         )
         persisted.append(new_cache)
 
-        # 3. F5 — robots predicate (broadcast join on host + vectorized matcher)
+        # 3. F5 — robots predicate (broadcast join on host + vectorized
+        # matcher). Matches against the frontier row's STORED canonical path
+        # (computed once at enqueue): re-deriving it here — parse_url or a
+        # second percent-decode — diverges from the oracle on double-encoded
+        # hrefs (%2520).
         with_rob = cand.join(
             F.broadcast(new_cache.select("host", "robots_txt")), "host", "left"
-        ).withColumn(
-            "rpath",
-            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
         )
         allowed = with_rob.where(
             self.agent_allowed(
-                F.coalesce("robots_txt", F.lit("")), F.col("rpath")
+                F.coalesce("robots_txt", F.lit("")),
+                F.coalesce("path", F.lit("/")),
             )
         ).select(*FRONTIER_COLS)
 
@@ -306,6 +315,45 @@ class CrawlEngine:
         n_scheduled = scheduled.count()
         if _timing:
             print(f"  [t] schedule+count: {_time.time() - _t0:.2f}s")
+
+        # frontier is a MERGE table: per-wave commit is O(changed rows), not
+        # O(total frontier). Rows leaving this wave (seen-hits, robots-denied,
+        # scheduled) become 'remove' deltas; deferred rows stay untouched on
+        # disk; new children are 'add' deltas. At wave 0 nothing is persisted
+        # yet, so the whole next frontier is the 'add' delta.
+        def _frontier_delta(adds: DataFrame) -> DataFrame:
+            add_rows = adds.select(*FRONTIER_COLS).withColumn(
+                "_op", F.lit("add"))
+            if wave == 0:
+                return add_rows
+            removes = (
+                frontier.join(deferred.select("url"), "url", "left_anti")
+                .select(
+                    "url",
+                    *[F.lit(None).cast(t).alias(c)
+                      for c, t in _FRONTIER_NULLS],
+                    F.lit("remove").alias("_op"),
+                )
+            )
+            return add_rows.unionByName(removes)
+
+        robots_delta = (new_cache if wave == 0 else refreshed).withColumn(
+            "_op", F.lit("add"))
+
+        if n_scheduled == 0:
+            # every candidate was robots-blocked (or already seen): the
+            # oracle pops those frontier rows and stops BEFORE counting the
+            # wave or appending metrics (oracle.crawl) — commit only the
+            # frontier/robots deltas so state matches, no metrics row.
+            adds = deferred if wave == 0 else deferred.limit(0)
+            manifest = self.state.commit_wave(wave, {
+                "frontier": _frontier_delta(adds),
+                "robots_cache": robots_delta,
+            })
+            for df in persisted:
+                df.unpersist()
+            manifest["n_scheduled"] = 0
+            return manifest
 
         trace = scheduled.select(
             F.lit(wave).alias("wave"),
@@ -366,7 +414,8 @@ class CrawlEngine:
             F.col("doc.description").alias("description"),
             F.col("doc.site_name").alias("site_name"),
             F.col("doc.icon").alias("icon"),
-            F.lit(wave).alias("wave"),
+            F.col("doc.content").alias("content"),  # InsertDocument.Content
+            F.lit(wave).alias("wave"),               # parity (common.go:50)
         )
         seen_all = seen.select("url").unionByName(seen_delta.select("url"))
 
@@ -402,7 +451,10 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
             .join(exclude, "url", "left_anti")  # one shuffle, not two
         )
-        next_frontier = deferred.unionByName(new_children)
+        frontier_adds = (
+            new_children if wave > 0
+            else deferred.unionByName(new_children)
+        )
 
         # 8. C10/K1 — images: explode, id-extract, dedup, decode+phash, MERGE
         imgs = (
@@ -435,15 +487,30 @@ class CrawlEngine:
                 F.col("ph.phash").alias("phash"),
             )
         )
-        existing = self.state.read("store")
-        if existing is not None:
+        # bounded store dedup: anti-join against the key-only append table
+        # (image_id per wave), NOT the full store union — the wave commit
+        # never scans stored image bytes, so its cost is independent of
+        # total store size (O(keys), not O(100 TB of payload)).
+        existing_keys = self.state.read("store_keys")
+        if existing_keys is not None:
             store_delta = store_rows.join(
-                existing.select("image_id"), "image_id", "left_anti"
+                existing_keys.select("image_id"), "image_id", "left_anti"
             )
         else:
             store_delta = store_rows
+        store_delta = store_delta.persist()  # decode once: count + write
+        persisted.append(store_delta)
+        n_stored = store_delta.count()
 
-        # 9. metrics per partition (north_rule: fetch/parse/dedup metrics)
+        # 9. metrics (north_rule: fetch/parse/dedup metrics). Counts reuse
+        # cached intermediates (fetched/parsed/store_delta are persisted);
+        # deduped = corpus-valid image refs minus newly stored rows, matching
+        # the oracle's per-occurrence accounting.
+        n_fetched = ok.count()
+        n_errors = n_scheduled - n_fetched
+        n_img_refs = imgs.join(
+            self.images.select("image_id"), "image_id").count()
+        n_deduped = n_img_refs - n_stored
         metrics = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -469,15 +536,18 @@ class CrawlEngine:
                 F.col("scheduled").cast("long"),
                 F.col("fetched").cast("long"),
                 F.col("parsed").cast("long"),
-                F.lit(0).cast("long").alias("deduped"),
-                F.lit(0).cast("long").alias("stored"),
+                # dedup/store are wave-global set ops, not attributable to a
+                # fetch partition: null here, real values in the summary row
+                F.lit(None).cast("long").alias("deduped"),
+                F.lit(None).cast("long").alias("stored"),
                 F.col("errors").cast("long"),
                 F.col("wall_ms").cast("long"),
             )
         )
-        # wave-summary row (partition_id = -1) from already-paid counts
+        # wave-summary row (partition_id = -1) — the oracle-comparable totals
         summary = spark.createDataFrame(
-            [(wave, -1, n_scheduled, 0, n_parsed, 0, 0, 0, 0)],
+            [(wave, -1, n_scheduled, n_fetched, n_parsed, n_deduped,
+              n_stored, n_errors, None)],
             schemas.METRICS,
         )
         metrics = metrics.unionByName(summary)
@@ -494,8 +564,9 @@ class CrawlEngine:
             "trace": trace,
             "seen": seen_delta,
             "store": store_delta,
-            "frontier": next_frontier,
-            "robots_cache": new_cache,
+            "store_keys": store_delta.select("image_id"),
+            "frontier": _frontier_delta(frontier_adds),
+            "robots_cache": robots_delta,
             "metrics": metrics,
             "host_budget": host_budget,
             "pages_meta": pages_meta,
@@ -550,9 +621,10 @@ class CrawlEngine:
                 break
             m = self.run_wave(wave, frontier, seen, robots_cache,
                               bloom_segments)
-            waves = wave + 1
             if m["n_scheduled"] == 0:
+                # oracle parity: an all-blocked wave is not counted
                 break
+            waves = wave + 1
             frontier = self.state.read("frontier")
             seen = self.state.read("seen").select("url")
             robots_cache = self.state.read("robots_cache")

@@ -38,9 +38,10 @@ def _block_mean_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     xs = (np.arange(out_w + 1) * w) // out_w
     out = np.empty((out_h, out_w, c), dtype=np.float64)
     for i in range(out_h):
-        for j in range(out_w):
-            out[i, j] = px[ys[i]:ys[i + 1] or h, xs[j]:xs[j + 1] or w].mean(
-                axis=(0, 1))
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)  # empty block (upsample)
+        for j in range(out_w):                     # -> nearest source pixel
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = px[y0:y1, x0:x1].mean(axis=(0, 1))
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
@@ -68,6 +69,19 @@ def resize(df: DataFrame, out_w: int = 16, out_h: int = 16,
         run, schema=RESIZE_SCHEMA)
 
 
+def feature_vec(px: np.ndarray) -> np.ndarray:
+    """Pure feature math shared by the Spark operator and the offline
+    oracle generator (tools/gen_value_oracles.py): 3x per-channel mean/std
+    + 8-bin luma histogram, (FEATURE_DIM,) float64."""
+    fpx = px.astype(np.float64)
+    mean = fpx.mean(axis=(0, 1)) / 255.0
+    std = fpx.std(axis=(0, 1)) / 255.0
+    luma = fpx @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=8, range=(0, 255))
+    hist = hist / max(1, luma.size)
+    return np.concatenate([mean, std, hist])
+
+
 def features(df: DataFrame, bytes_col: str = "bytes",
              fmt_col: str = "fmt") -> DataFrame:
     """Per-image feature vector (array<float>, FEATURE_DIM dims)."""
@@ -81,15 +95,8 @@ def features(df: DataFrame, bytes_col: str = "bytes",
                     px = codecs.decode(bytes(raw), fmt)
                 except Exception:
                     continue
-                fpx = px.astype(np.float64)
-                mean = fpx.mean(axis=(0, 1)) / 255.0
-                std = fpx.std(axis=(0, 1)) / 255.0
-                luma = fpx @ np.array([0.299, 0.587, 0.114])
-                hist, _ = np.histogram(luma, bins=8, range=(0, 255))
-                hist = hist / max(1, luma.size)
                 ids.append(iid)
-                vecs.append([float(x) for x in
-                             np.concatenate([mean, std, hist])])
+                vecs.append([float(x) for x in feature_vec(px)])
             yield pd.DataFrame({"image_id": ids, "features": vecs})
 
     return df.select("image_id", bytes_col, fmt_col).mapInPandas(

@@ -96,7 +96,7 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
         if _allow(scheme, host, path, valid, cfg) and canon not in frontier:
             frontier[canon] = {
                 "url": canon, "parent_url": "", "host": host,
-                "depth": 0, "priority": 0, "wave": 0,
+                "depth": 0, "priority": 0, "wave": 0, "path": path,
             }
 
     for wave in range(max_waves):
@@ -120,7 +120,10 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
         allowed = []
         for r in candidates:
             txt = robots_cache.get(r["host"], ("", ts))[0]
-            path = canonicalize_one(r["url"])[3]
+            # the frontier row's STORED canonical path (same as the engine):
+            # re-canonicalizing would percent-decode a second time and flip
+            # verdicts on double-encoded hrefs
+            path = r["path"] or "/"
             if agent_allowed_one(txt, path, cfg.user_agent):
                 allowed.append(r)
             else:
@@ -170,12 +173,14 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
                 doc = {"child_urls": [], "images": [],
                        "title": content[:60] or None,
                        "description": content[:160] or None,
-                       "site_name": host, "icon": None}
+                       "site_name": host, "icon": None,
+                       "content": content}
             parsed += 1
             res.seen[r["url"]] = wave
             res.pages_meta[r["url"]] = {
                 "title": doc["title"], "description": doc["description"],
                 "site_name": doc["site_name"], "icon": doc["icon"],
+                "content": doc["content"],   # InsertDocument.Content parity
                 "wave": wave,
             }
             parsed_docs.append((r, base_url, doc))
@@ -193,14 +198,16 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
                 new_children[c] = {
                     "url": c, "parent_url": r["url"], "host": ch,
                     "depth": r["depth"] + 1, "priority": 0,
-                    "wave": wave + 1,
+                    "wave": wave + 1, "path": cp,
                 }
 
+        img_refs = 0  # corpus-valid image references (incl. duplicates)
         for r, base_url, doc in parsed_docs:
             for img in doc["images"]:
                 image_id = image_id_from_src(img["src"])
                 if image_id is None or image_id not in images:
                     continue
+                img_refs += 1
                 corpus = images[image_id]
                 if image_id not in res.store:
                     px = codecs.decode(bytes(corpus["bytes"]), corpus["fmt"])
@@ -219,7 +226,8 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
         res.metrics.append(
             {
                 "wave": wave, "scheduled": len(scheduled), "fetched": fetched,
-                "parsed": parsed, "stored": stored, "errors": errors,
+                "parsed": parsed, "deduped": img_refs - stored,
+                "stored": stored, "errors": errors,
             }
         )
         res.waves = wave + 1

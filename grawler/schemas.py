@@ -33,6 +33,8 @@ FRONTIER = _s(
     ("depth", IntegerType()),
     ("priority", IntegerType()),
     ("wave", IntegerType()),
+    ("path", StringType()),  # canonical path, computed once at enqueue;
+    #   the robots matcher reads it (no re-canonicalization divergence)
 )
 
 SEEN = _s(

@@ -22,7 +22,14 @@ state (north_rule: resumable with per-partition lineage + metrics).
 
 Table modes:
   append — per-wave delta dirs (seen, store, trace, metrics): O(delta) write.
-  full   — per-wave full snapshot (frontier, robots_cache): small working set.
+  merge  — keyed delta dirs with add/remove ops (frontier, robots_cache):
+           O(delta) write per wave; reads resolve latest-op-per-key since the
+           last compaction; every `compact_every` waves a resolved snapshot is
+           rewritten so read cost stays bounded. This is what keeps a
+           10^10-row frontier from being rewritten every wave — the wave
+           commit cost is O(changed rows), not O(total frontier). The Iceberg
+           deployment expresses the same deltas as MERGE INTO / DELETE.
+  full   — per-wave full snapshot (bloom only: bounded segment set).
 """
 
 from __future__ import annotations
@@ -31,23 +38,56 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-APPEND_TABLES = ("seen", "store", "trace", "metrics", "host_budget",
-                 "pages_meta")
-FULL_TABLES = ("frontier", "robots_cache", "bloom")
+APPEND_TABLES = ("seen", "store", "store_keys", "trace", "metrics",
+                 "host_budget", "pages_meta")
+MERGE_TABLES = {"frontier": "url", "robots_cache": "host"}  # table -> key
+FULL_TABLES = ("bloom",)
+
+OP_COL = "_op"    # 'add' | 'remove'; engine supplies it on merge deltas
+WV_COL = "_wv"    # stamping wave, added by the store at write time
 
 
 class LocalSnapshotStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 compact_every: int = 8):
         self.spark = spark
         self.path = path
+        self.compact_every = max(2, compact_every)
         os.makedirs(os.path.join(path, "_lineage"), exist_ok=True)
 
     # ------------------------------------------------------------- commit
 
     def _table_path(self, table: str, wave: int) -> str:
         return os.path.join(self.path, table, f"wave={wave:05d}")
+
+    def _resolve(self, df: DataFrame, key: str) -> DataFrame:
+        """Latest op per key wins; same-wave 'add' beats 'remove' (a URL
+        dropped and re-discovered as a child in one wave stays enqueued,
+        matching the oracle). Only 'add' survivors are rows."""
+        w = Window.partitionBy(key).orderBy(
+            F.desc(WV_COL), F.desc("_opr"))
+        return (
+            df.withColumn(
+                "_opr", F.when(F.col(OP_COL) == "add", 1).otherwise(0))
+            .withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col(OP_COL) == "add"))
+            .drop(OP_COL, WV_COL, "_opr", "_rn")
+        )
+
+    def _merge_entries(self, table: str, upto_wave: int | None = None):
+        ms = self.manifests()
+        if upto_wave is not None:
+            ms = [m for m in ms if m["wave"] <= upto_wave]
+        entries = [m["tables"][table] for m in ms if table in m["tables"]]
+        # reads start at the latest compacted snapshot
+        start = 0
+        for i, e in enumerate(entries):
+            if e["mode"] == "compact":
+                start = i
+        return entries[start:]
 
     def commit_wave(self, wave: int, tables: dict[str, DataFrame]) -> dict:
         """Write all table data, then the lineage manifest (commit point)."""
@@ -56,10 +96,35 @@ class LocalSnapshotStore:
 
         def write_one(item):
             name, df = item
-            mode = "append" if name in APPEND_TABLES else "full"
             p = self._table_path(name, wave)
             t0 = time.time()
-            df.write.mode("overwrite").parquet(p)
+            if name in MERGE_TABLES:
+                key = MERGE_TABLES[name]
+                delta = df.withColumn(WV_COL, F.lit(wave))
+                do_compact = wave > 0 and wave % self.compact_every == 0
+                if do_compact:
+                    prior = self._merge_entries(name, upto_wave=wave - 1)
+                    parts = [delta]
+                    if prior:
+                        parts.append(
+                            self.spark.read.parquet(
+                                *[e["path"] for e in prior]))
+                    union = parts[0]
+                    for d in parts[1:]:
+                        union = union.unionByName(d)
+                    out = (
+                        self._resolve(union, key)
+                        .withColumn(OP_COL, F.lit("add"))
+                        .withColumn(WV_COL, F.lit(wave))
+                    )
+                    mode = "compact"
+                else:
+                    out = delta
+                    mode = "merge"
+                out.write.mode("overwrite").parquet(p)
+            else:
+                mode = "append" if name in APPEND_TABLES else "full"
+                df.write.mode("overwrite").parquet(p)
             if timing:
                 print(f"  [t] write {name}: {time.time() - t0:.2f}s")
             return name, {"path": p, "mode": mode}
@@ -107,7 +172,14 @@ class LocalSnapshotStore:
         return ms[-1]["wave"] if ms else None
 
     def read(self, table: str, upto_wave: int | None = None) -> DataFrame | None:
-        """append table: union of all committed deltas; full: latest."""
+        """append: union of committed deltas; merge: latest-op-per-key over
+        deltas since the last compaction; full: latest snapshot."""
+        if table in MERGE_TABLES:
+            entries = self._merge_entries(table, upto_wave)
+            if not entries:
+                return None
+            df = self.spark.read.parquet(*[e["path"] for e in entries])
+            return self._resolve(df, MERGE_TABLES[table])
         ms = self.manifests()
         if upto_wave is not None:
             ms = [m for m in ms if m["wave"] <= upto_wave]

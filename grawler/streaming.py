@@ -83,34 +83,61 @@ SESSION_SCHEMA = ("user_id long, session_id long, n_events long, "
 
 
 def sessionize(spark: SparkSession, events_path: str,
-               gap_s: float = 3600.0) -> DataFrame:
-    """Gap-based sessions per user (applyInPandasWithState)."""
+               gap_s: float = 3600.0,
+               max_files_per_trigger: int | None = None) -> DataFrame:
+    """Gap-based sessions per user (applyInPandasWithState).
+
+    State carries (next_session_id, last_ts, open_start, open_n) across
+    micro-batches, so a session spanning a batch boundary continues instead
+    of restarting at id 0. Emission is upsert-by-key: every batch emits the
+    CURRENT snapshot of each touched session (including the still-open one);
+    a later batch that extends a session re-emits it with the same
+    (user_id, session_id) and larger n_events — consumers keep the last row
+    per key (a single availableNow batch emits each session exactly once, so
+    the driver entry equals the batch SQL oracle unchanged).
+    """
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        gap = rows["ts"].diff().dt.total_seconds().fillna(0.0)
-        session = (gap > gap_s).cumsum()
-        out = rows.groupby(session).agg(
+        tvals = rows["ts"].astype("int64")          # epoch ns
+        gap_ns = int(gap_s * 1e9)
+        if state.exists:
+            sid_base, last_ns, open_start_ns, open_n = state.get
+            cont = int(tvals.iloc[0]) - last_ns <= gap_ns
+        else:
+            sid_base, open_start_ns, open_n, cont = 0, 0, 0, False
+        brk = (tvals.diff() > gap_ns)
+        brk.iloc[0] = not cont
+        sidx = brk.cumsum()                         # 0-based iff continuing
+        out = rows.groupby(sidx).agg(
             n_events=("event_id", "count"), start_ts=("ts", "min"),
-            end_ts=("ts", "max"))
-        out = out.reset_index(drop=True)
-        out.insert(0, "session_id", range(len(out)))
+            end_ts=("ts", "max")).reset_index(drop=True)
+        first = int(sidx.iloc[0])
+        out.insert(0, "session_id",
+                   [sid_base - 1 + first + i for i in range(len(out))])
         out.insert(0, "user_id", key[0])
-        state.update((int(len(out)),))
+        if cont:  # merge the carried open session into its continuation
+            out.loc[0, "n_events"] += open_n
+            out.loc[0, "start_ts"] = pd.Timestamp(open_start_ns)
+        last = out.iloc[-1]
+        state.update((int(last["session_id"]) + 1, int(tvals.iloc[-1]),
+                      int(pd.Timestamp(last["start_ts"]).value),
+                      int(last["n_events"])))
         yield out
 
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(_as_stream_dir(events_path))
-    )
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:  # force multi-batch (state-carry tests)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(_as_stream_dir(events_path))
     sess = (
         src.withWatermark("ts", "30 days")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
             outputStructType=SESSION_SCHEMA,
-            stateStructType="n long",
+            stateStructType=("sid long, last_ns long, start_ns long, "
+                             "n long"),
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

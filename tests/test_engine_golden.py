@@ -55,15 +55,30 @@ def _assert_equal(res, o, web=None):
     hb = {r["host"]: r["fetches"] for r in res.host_budget().collect()}
     want = Counter(h for (_, _, _, h, _) in o.trace)
     assert hb == dict(want)
-    # F8/K1 document-shape parity: extracted metadata per seen page
+    # F8/K1 document-shape parity: extracted metadata + visible text per
+    # seen page (InsertDocument.Content, reference src/common/common.go:50)
     pm = {
-        r["url"]: (r["title"], r["description"], r["site_name"], r["icon"])
+        r["url"]: (r["title"], r["description"], r["site_name"], r["icon"],
+                   r["content"])
         for r in res.pages_meta().collect()
     }
     assert set(pm) == set(o.pages_meta)
     for u, m in o.pages_meta.items():
         assert pm[u] == (m["title"], m["description"], m["site_name"],
-                         m["icon"]), u
+                         m["icon"], m["content"]), u
+    # observability: wave-summary metrics equal the oracle's accounting
+    assert res.waves == o.waves
+    em = {
+        r["wave"]: (r["scheduled"], r["fetched"], r["parsed"], r["deduped"],
+                    r["stored"], r["errors"])
+        for r in res.metrics().where("partition_id = -1").collect()
+    }
+    om = {
+        m["wave"]: (m["scheduled"], m["fetched"], m["parsed"], m["deduped"],
+                    m["stored"], m["errors"])
+        for m in o.metrics
+    }
+    assert em == om
 
 
 def test_golden_mixed(spark, tiny_web, tmp_path):
@@ -165,3 +180,19 @@ def test_golden_other_shapes(spark, tmp_path, shape, seed, waves):
     web = synthgen.generate(seed=seed, n_pages=60, shape=shape)
     res, o = _run_both(spark, web, tmp_path, max_waves=waves)
     _assert_equal(res, o, web)
+
+
+def test_all_blocked_wave_not_counted(spark, tmp_path):
+    """Every candidate robots-denied in wave 0: the oracle pops the frontier
+    rows and stops without counting the wave or writing metrics — the engine
+    must agree (waves == 0, no trace/metrics rows, empty frontier)."""
+    web = synthgen.generate(seed=2, n_pages=40, shape="mixed")
+    web.robots["robots_txt"] = "User-agent: *\nDisallow: /\n"
+    res, o = _run_both(spark, web, tmp_path, max_waves=3)
+    assert o.waves == 0 and res.waves == 0
+    assert o.trace == [] and not o.metrics
+    assert res.trace() is None       # never committed: no scheduled rows
+    assert res.metrics() is None
+    f = res.frontier()
+    assert f is None or f.count() == 0
+    assert not o.frontier

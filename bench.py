@@ -87,6 +87,52 @@ def bench_frontier(spark, warmup: bool = True) -> tuple[float, float]:
     return dt, FRONTIER_ROWS / dt
 
 
+def bench_frontier_split(spark) -> dict:
+    """Per-stage scaling evidence: times the Arrow/python-worker stage
+    (canonicalize pandas UDF) and the JVM shuffle stage (seen anti-join +
+    salted politeness + two-phase global sequence) SEPARATELY, so the
+    N-vs-4N efficiency report can attribute scaling loss to the shared JVM
+    heap rather than the engine's dataflow (BENCH/BASELINE.md)."""
+    from grawler.scheduler import schedule_wave
+    from grawler.urlnorm import with_canonical
+
+    n = FRONTIER_ROWS
+
+    def arrow_pass() -> float:
+        frontier = synth_frontier(spark, n)
+        t0 = time.time()
+        (with_canonical(frontier.drop("host"), "url")
+         .select("url_canon", "scheme", "host", "path")
+         .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+
+    def jvm_pass() -> float:
+        frontier = synth_frontier(spark, n)  # native exprs only, no UDF
+        seen = frontier.where(
+            F.pmod(F.xxhash64("url"), F.lit(10)) < 3).select("url")
+        registry: list = []
+        t0 = time.time()
+        cand = frontier.join(seen, "url", "left_anti")
+        scheduled, _ = schedule_wave(cand, host_tokens=1000, wave_cap=n,
+                                     salt_buckets=16, registry=registry)
+        scheduled.count()
+        dt = time.time() - t0
+        for df in registry:
+            df.unpersist()
+        return dt
+
+    arrow_pass()  # warmup (python workers / codegen)
+    a_dt = arrow_pass()
+    jvm_pass()
+    j_dt = jvm_pass()
+    return {
+        "arrow_urls_per_sec": round(n / a_dt),
+        "jvm_urls_per_sec": round(n / j_dt),
+        "arrow_sec": round(a_dt, 3),
+        "jvm_sec": round(j_dt, 3),
+    }
+
+
 def bench_store(spark) -> tuple[float, float]:
     import pandas as pd
 
@@ -197,7 +243,7 @@ def bench_wave(spark, n: int = 100_000) -> tuple[float, float]:
         dt = time.time() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-        eng.pages.unpersist(); eng.robots_truth.unpersist()
+        eng.fetcher.pages.unpersist(); eng.fetcher.robots_truth.unpersist()
         eng.images.unpersist()
     return dt, n / dt
 
@@ -226,6 +272,10 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
 
+    split = None
+    if os.environ.get("GRAWLER_BENCH_SPLIT"):
+        split = bench_frontier_split(spark)
+
     f_dt, f_rate = bench_frontier(spark)
     timings["crawl_frontier_1m"] = round(f_dt, 3)
     s_dt, s_rate = bench_store(spark)
@@ -237,7 +287,7 @@ def main():
         timings["crawl_full_wave_100k"] = round(w_dt, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_wall_total",
         "value": total,
         "unit": "sec",
@@ -247,7 +297,10 @@ def main():
         "store_rows_per_sec": round(s_rate),
         "full_wave_urls_per_sec": round(w_rate) if w_rate else None,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    }))
+    }
+    if split:
+        out.update({f"frontier_{k}": v for k, v in split.items()})
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -183,17 +183,19 @@ class CrawlEngine:
         warehouse: str,
         cfg: CrawlConfig = DEFAULT,
         robots_cache_init: DataFrame | None = None,
+        fetcher=None,
     ):
+        from .fetch import SimFetcher
+
         self.spark = spark
         self.cfg = cfg
         self.state = LocalSnapshotStore(spark, warehouse)
         self.agent_allowed = make_agent_allowed_udf(cfg.user_agent)
         self.robots_cache_init = robots_cache_init
-        # static inputs, reused every wave
-        self.pages = pages.select(
-            "url", "status", "content_type", "fetch_latency_ms", "html"
-        ).persist()
-        self.robots_truth = robots_truth.select("host", "robots_txt").persist()
+        # the fetch seam: SimFetcher joins the synthetic web (sandbox
+        # default); an HttpFetcher (grawler.fetch) does real batched HTTP
+        # with the same output columns at deploy
+        self.fetcher = fetcher or SimFetcher(pages, robots_truth)
         self.images = images.persist()
 
     # ----------------------------------------------------------- helpers
@@ -266,14 +268,7 @@ class CrawlEngine:
             F.col("robots_txt").isNull()
             | (F.col("fetched_ts") < F.lit(stale_before))
         ).select("host")
-        refreshed = (
-            stale.join(self.robots_truth, "host", "left")
-            .select(
-                "host",
-                F.coalesce("robots_txt", F.lit("")).alias("robots_txt"),
-                F.lit(ts).alias("fetched_ts"),
-            )
-        )
+        refreshed = self.fetcher.fetch_robots(stale, ts)
         new_cache = (
             robots_cache.join(refreshed.select("host"), "host", "left_anti")
             .unionByName(refreshed)
@@ -361,11 +356,12 @@ class CrawlEngine:
             "url", "host", "depth",
         )
 
-        # 5. S3 — fetch-sim: explicit host-hash repartition defuses hot-host
-        # fan-in, then join the synthetic web (the deployment target swaps
-        # this join for a batched HTTP mapInPandas fetcher)
+        # 5. S3 — fetch through the seam: explicit host-hash repartition
+        # defuses hot-host fan-in (and co-locates each host's URLs in one
+        # task, so HttpFetcher's per-task connection pool reuses politely);
+        # SimFetcher joins the synthetic web, HttpFetcher does batched HTTP.
         to_fetch = scheduled.repartition(F.xxhash64("host"))
-        fetched = to_fetch.join(self.pages, "url", "left").withColumn(
+        fetched = self.fetcher.fetch(to_fetch).withColumn(
             "ctype",
             F.lower(F.trim(F.split_part(F.col("content_type"), F.lit(";"), F.lit(1)))),
         ).persist()

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--robots")
     ap.add_argument("--images")
     ap.add_argument("--seeds")
+    ap.add_argument("--http", action="store_true",
+                    help="fetch pages and robots.txt via real batched HTTP "
+                         "(grawler.fetch.HttpFetcher) instead of the "
+                         "fetch-sim join against --pages/--robots")
     args = ap.parse_args()
 
     from pyspark import SparkConf
@@ -63,12 +67,20 @@ def main():
                                 shape=args.shape)
         eng, seeds = build_engine(spark, web, args.warehouse, cfg)
     else:
-        pages = spark.read.parquet(args.pages)
-        robots = spark.read.parquet(args.robots)
+        fetcher = None
+        if args.http:
+            from grawler.fetch import HttpFetcher
+
+            fetcher = HttpFetcher(user_agent=cfg.user_agent,
+                                  timeout_s=cfg.http_timeout_s)
+            pages = robots = None
+        else:
+            pages = spark.read.parquet(args.pages)
+            robots = spark.read.parquet(args.robots)
         images = spark.read.parquet(args.images)
         seeds = spark.read.json(args.seeds).select("url")
         eng = CrawlEngine(spark, pages, robots, images, args.warehouse, cfg,
-                          robots_cache_init=robots)
+                          robots_cache_init=robots, fetcher=fetcher)
 
     res = eng.run(seeds, max_waves=args.waves, resume=args.resume)
     n_seen = res.seen().count() if res.seen() is not None else 0

@@ -1,0 +1,200 @@
+"""IcebergSnapshotStore contract tests against a recording FakeSpark.
+
+The iceberg-spark-runtime jar is not bundled with this sandbox's PySpark, so
+the deployment backend cannot execute here. These tests run its REAL control
+flow (commit_wave / last_wave / recover / read-filtering inputs) against a
+fake that records every SQL statement and simulates Iceberg's two visible
+behaviors: each mutating statement bumps the target table's snapshot id, and
+the lineage table accumulates appended rows. Asserted:
+
+  - frontier/robots_cache writes are MERGE INTO with remove->DELETE /
+    add->upsert clauses; NEVER an O(total-state) INSERT OVERWRITE
+  - ordering: BEGIN lineage rows land before any table write; the commit
+    marker is the last statement of the wave
+  - last_wave() counts only waves with a commit marker
+  - a crash between table writes and the commit marker is recovered by
+    rolling each written table back to its BEGIN-recorded snapshot
+    (or truncating tables that had no snapshot yet)
+"""
+
+import re
+
+import pytest
+
+from grawler.store import IcebergSnapshotStore
+
+
+class FakeDF:
+    def __init__(self, spark, columns, rows=None):
+        self._spark = spark
+        self.columns = list(columns)
+        self.rows = rows or []
+
+    def createOrReplaceTempView(self, name):  # noqa: N802
+        self._spark.views[name] = self
+
+
+class FakeResult:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+_TARGET = re.compile(
+    r"(?:MERGE INTO|INSERT INTO|INSERT OVERWRITE|DELETE FROM)\s+(\S+)")
+
+
+class FakeSpark:
+    """Records statements; simulates snapshot bumps + the lineage table."""
+
+    def __init__(self):
+        self.stmts: list[str] = []
+        self.views: dict = {}
+        self.snap: dict[str, int] = {}     # table -> latest snapshot id
+        self.lineage: list[dict] = []      # appended lineage rows
+        self._next_snap = 100
+        self._ts = 0
+
+    def createDataFrame(self, rows, schema):  # noqa: N802
+        cols = [f.split()[0] for f in schema.split(",")]
+        return FakeDF(self, cols, [dict(zip(cols, r)) for r in rows])
+
+    def _bump(self, table):
+        self._next_snap += 1
+        self.snap[table] = self._next_snap
+
+    def sql(self, s):
+        self.stmts.append(s)
+        flat = " ".join(s.split())
+        if ".snapshots" in flat:  # snapshot_id() probe
+            t = flat.split("FROM ", 1)[1].split(".snapshots")[0].split(".")[-1]
+            if t in self.snap:
+                return FakeResult([{"snapshot_id": self.snap[t]}])
+            return FakeResult([])
+        if "max(wave)" in flat and "kind = 'commit'" in flat:
+            ws = [r["wave"] for r in self.lineage if r["kind"] == "commit"]
+            return FakeResult([{"w": max(ws) if ws else None}])
+        if flat.startswith("SELECT wave, table, snapshot_id"):
+            floor = int(flat.split("wave > ", 1)[1].split()[0])
+            rows = [r for r in self.lineage
+                    if r["kind"] == "begin" and r["wave"] > floor]
+            return FakeResult(sorted(rows, key=lambda r: r["_ts"]))
+        m = _TARGET.match(flat)
+        if m:
+            t = m.group(1).split(".")[-1]
+            if t == "lineage":
+                src = self.views["_delta"]
+                for row in src.rows:
+                    self._ts += 1
+                    self.lineage.append({**row, "_ts": self._ts})
+            self._bump(t)
+            return FakeResult([])
+        if flat.startswith("CALL"):  # rollback_to_snapshot
+            t = flat.split("'")[1].split(".")[-1]
+            self.snap[t] = int(flat.rsplit(",", 1)[1].strip(" )"))
+            return FakeResult([])
+        raise AssertionError(f"unexpected SQL: {s}")
+
+
+def _store():
+    fs = FakeSpark()
+    return fs, IcebergSnapshotStore(fs, catalog="crawl", namespace="grawler")
+
+
+def _wave_tables(fs):
+    return {
+        "frontier": FakeDF(fs, ["url", "parent_url", "host", "depth",
+                                "priority", "wave", "path", "_op"]),
+        "robots_cache": FakeDF(fs, ["host", "robots_txt", "fetched_ts",
+                                    "_op"]),
+        "seen": FakeDF(fs, ["url", "url_hash", "first_wave"]),
+        "store": FakeDF(fs, ["image_id", "bytes", "w", "h", "fmt",
+                             "caption", "phash"]),
+        "bloom": FakeDF(fs, ["segment", "bits", "n_keys"]),
+    }
+
+
+def test_commit_wave_merge_not_overwrite_and_ordering():
+    fs, st = _store()
+    st.commit_wave(0, _wave_tables(fs))
+
+    frontier_stmts = [s for s in fs.stmts if "grawler.frontier" in s
+                      and ".snapshots" not in s]
+    assert len(frontier_stmts) == 1
+    s = frontier_stmts[0]
+    assert s.startswith("MERGE INTO crawl.grawler.frontier")
+    assert "WHEN MATCHED AND s._op = 'remove' THEN DELETE" in s
+    assert "_op" not in s.split("INSERT (", 1)[1]  # op col never persisted
+    assert not any("INSERT OVERWRITE crawl.grawler.frontier" in x
+                   for x in fs.stmts)
+    assert not any("INSERT OVERWRITE crawl.grawler.robots_cache" in x
+                   for x in fs.stmts)
+    # seen is INSERT INTO (append), bloom the only overwrite (bounded)
+    assert any(x.startswith("INSERT INTO crawl.grawler.seen") for x in fs.stmts)
+    assert any(x.startswith("INSERT OVERWRITE crawl.grawler.bloom")
+               for x in fs.stmts)
+
+    # ordering: begin lineage append < first table write < commit append
+    lineage_writes = [i for i, x in enumerate(fs.stmts)
+                      if x.startswith("INSERT INTO crawl.grawler.lineage")]
+    first_write = min(i for i, x in enumerate(fs.stmts)
+                      if _TARGET.match(x) and "lineage" not in x)
+    assert lineage_writes[0] < first_write < lineage_writes[-1]
+    assert lineage_writes[-1] == len(fs.stmts) - 1  # commit marker is last
+
+    begin = [r for r in fs.lineage if r["kind"] == "begin"]
+    assert {r["table"] for r in begin} == set(_wave_tables(fs))
+    assert all(r["snapshot_id"] == "none" for r in begin)  # empty tables
+    assert st.last_wave() == 0
+
+
+def test_last_wave_requires_commit_marker():
+    fs, st = _store()
+    st.commit_wave(0, _wave_tables(fs))
+    # wave 1 crashes after BEGIN + table writes, before the commit append:
+    st._append_lineage([(1, "frontier", str(fs.snap["frontier"]), "begin"),
+                        (1, "seen", str(fs.snap["seen"]), "begin")])
+    fs.sql(st.merge_sql("frontier", ["url", "host"]))
+    fs.sql(st.append_sql("seen"))
+    assert st.last_wave() == 0  # orphan wave 1 never committed
+
+
+def test_recover_rolls_back_orphan_writes():
+    fs, st = _store()
+    st.commit_wave(0, _wave_tables(fs))
+    pre_frontier = fs.snap["frontier"]
+    pre_seen = fs.snap["seen"]
+
+    # wave 1: begin recorded, tables written, crash before commit
+    st._append_lineage([(1, "frontier", str(pre_frontier), "begin"),
+                        (1, "seen", str(pre_seen), "begin")])
+    fs.views["_delta"] = FakeDF(fs, ["url", "host", "_op"])
+    fs.sql(st.merge_sql("frontier", ["url", "host"]))
+    fs.sql(st.append_sql("seen"))
+    assert fs.snap["frontier"] != pre_frontier
+
+    stmts = st.recover()
+    assert fs.snap["frontier"] == pre_frontier  # rolled back
+    assert fs.snap["seen"] == pre_seen
+    assert any(s.startswith(
+        "CALL crawl.system.rollback_to_snapshot('grawler.frontier'")
+        for s in stmts)
+    assert st.last_wave() == 0
+
+    # idempotent: nothing left to roll back... except the same begin rows;
+    # recover targets the same snapshots again (no-op rollbacks)
+    again = st.recover()
+    assert fs.snap["frontier"] == pre_frontier
+    assert len(again) == len(stmts)
+
+
+def test_recover_truncates_never_snapshotted_tables():
+    fs, st = _store()
+    # first-ever wave crashes before commit: begin recorded 'none'
+    st._append_lineage([(0, "seen", "none", "begin")])
+    fs.views["_delta"] = FakeDF(fs, ["url"])
+    fs.sql(st.append_sql("seen"))
+    stmts = st.recover()
+    assert stmts == ["DELETE FROM crawl.grawler.seen"]

@@ -8,7 +8,7 @@ import pytest
 from grawler import oracle, synthgen
 from grawler.conf import CrawlConfig
 from grawler.engine import build_engine
-from grawler.store import IcebergStore, LocalSnapshotStore
+from grawler.store import IcebergSnapshotStore, LocalSnapshotStore
 
 CFG = CrawlConfig()
 
@@ -60,13 +60,16 @@ def test_iceberg_merge_sql():
     class FakeSpark:  # SQL generation is pure string work
         pass
 
-    st = IcebergStore(FakeSpark(), catalog="crawl", namespace="grawler")
-    sql = st.merge_sql("store")
-    assert sql == (
-        "MERGE INTO crawl.grawler.store t USING _delta s "
-        "ON t.image_id = s.image_id "
-        "WHEN MATCHED THEN UPDATE SET * "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
-    assert "ON t.host = s.host" in st.merge_sql("robots_cache")
-    assert "ON t.url = s.url" in st.merge_sql("seen")
+    st = IcebergSnapshotStore(FakeSpark(), catalog="crawl",
+                              namespace="grawler")
+    sql = st.merge_sql("frontier", ["url", "host", "depth"])
+    assert sql.startswith(
+        "MERGE INTO crawl.grawler.frontier t USING _delta s "
+        "ON t.url = s.url ")
+    assert "WHEN MATCHED AND s._op = 'remove' THEN DELETE" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.url = s.url, t.host = s.host" in sql
+    assert ("WHEN NOT MATCHED AND s._op = 'add' THEN "
+            "INSERT (url, host, depth) VALUES (s.url, s.host, s.depth)"
+            in sql)
+    assert "INSERT OVERWRITE" not in sql
+    assert "ON t.host = s.host" in st.merge_sql("robots_cache", ["host"])

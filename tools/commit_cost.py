@@ -1,0 +1,143 @@
+"""Evidence that the frontier MERGE-table commit is O(delta), not O(state).
+
+Round-1 verdict flagged the frontier full-snapshot-per-wave as the
+scale-killer: at a 10^10-row frontier an O(total-state) rewrite per wave
+dominates everything. The fix (grawler.store merge tables) commits only
+add/remove deltas; this tool measures it directly:
+
+  wave 0   seeds a BASE-row frontier (the big one-time add delta)
+  wave 1.. commits a CONSTANT-size delta (DELTA adds + DELTA removes of the
+           previous wave's adds) while total frontier size stays ~BASE
+  each wave also times read("frontier") (delta resolution since the last
+           compaction snapshot)
+
+Flat per-wave commit time == O(delta) proven; a full-rewrite design would
+cost ~BASE/DELTA x more per wave (40x at the defaults). Compaction waves
+(every `compact_every`) pay O(state) ONCE to re-bound read cost — reported
+separately, amortized cost BASE/(DELTA*compact_every).
+
+Writes BENCH/COMMIT_COST.md. Usage:
+    python tools/commit_cost.py [base_rows] [delta_rows] [waves]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from grawler.store import LocalSnapshotStore  # noqa: E402
+
+NULLS = [("parent_url", "string"), ("host", "string"), ("depth", "int"),
+         ("priority", "int"), ("wave", "int"), ("path", "string")]
+
+
+def frontier_rows(spark, n: int, tag: int):
+    return spark.range(n).select(
+        F.concat(F.lit("http://host-"),
+                 F.pmod(F.xxhash64("id"), F.lit(5000)).cast("string"),
+                 F.lit(f".example/w{tag}/"), "id").alias("url"),
+        F.lit("").alias("parent_url"),
+        F.concat(F.lit("host-"),
+                 F.pmod(F.xxhash64("id"), F.lit(5000)).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(1).alias("depth"),
+        F.lit(0).alias("priority"),
+        F.lit(tag).alias("wave"),
+        F.concat(F.lit(f"/w{tag}/"), "id").alias("path"),
+    )
+
+
+def main():
+    base = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    delta = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    waves = int(sys.argv[3]) if len(sys.argv) > 3 else 11
+    compact_every = 8
+
+    from grawler.session import get_spark
+
+    spark = get_spark("commit-cost")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wh = tempfile.mkdtemp(prefix="grawler_commit_cost_")
+    st = LocalSnapshotStore(spark, wh, compact_every=compact_every)
+    commit_s, read_s = [], []
+    try:
+        seed = frontier_rows(spark, base, 0).withColumn("_op", F.lit("add"))
+        t0 = time.time()
+        st.commit_wave(0, {"frontier": seed})
+        commit_s.append(round(time.time() - t0, 2))
+        read_s.append(None)
+        for w in range(1, waves):
+            adds = frontier_rows(spark, delta, w).withColumn(
+                "_op", F.lit("add"))
+            removes = frontier_rows(spark, delta, w - 1).select(
+                "url",
+                *[F.lit(None).cast(t).alias(c) for c, t in NULLS],
+                F.lit("remove").alias("_op"),
+            )
+            t0 = time.time()
+            st.commit_wave(w, {"frontier": adds.unionByName(removes)})
+            commit_s.append(round(time.time() - t0, 2))
+            t0 = time.time()
+            st.read("frontier").count()
+            read_s.append(round(time.time() - t0, 2))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    non_compact = [commit_s[w] for w in range(2, waves)
+                   if w % compact_every != 0]
+    flat_ratio = round(non_compact[-1] / non_compact[0], 2)
+    result = {
+        "base_rows": base, "delta_rows": delta, "waves": waves,
+        "compact_every": compact_every,
+        "commit_sec_per_wave": commit_s,
+        "read_sec_per_wave": read_s,
+        "flat_ratio_last_vs_first_delta_wave": flat_ratio,
+        "seed_commit_sec": commit_s[0],
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = "\n".join(
+        f"| {w} | {commit_s[w]} | {read_s[w] if read_s[w] is not None else '—'} |"
+        f" {'compact (O(state), amortized)' if w > 0 and w % compact_every == 0 else ('seed' if w == 0 else 'delta')} |"
+        for w in range(waves)
+    )
+    with open(os.path.join(REPO, "BENCH", "COMMIT_COST.md"), "w") as f:
+        f.write(f"""# BENCH/COMMIT_COST — frontier commit is O(delta), not O(state)
+
+Setup: wave 0 seeds a {base:,}-row frontier; waves 1..{waves - 1} each commit a
+constant {delta:,}-add + {delta:,}-remove delta (total frontier stays ~{base:,}
+rows) into LocalSnapshotStore's frontier MERGE table (compact_every=
+{compact_every}). Per-wave commit wall time and read("frontier") resolution
+time:
+
+| wave | commit s | read s | kind |
+|---|---|---|---|
+{lines}
+
+Flatness: last delta wave / first delta wave = **{flat_ratio}** (1.0 = perfectly
+flat = O(delta)). The wave-0 seed commit ({commit_s[0]} s for {base:,} rows) is
+what EVERY wave would cost under the round-1 full-rewrite design — the delta
+design pays it once, then ~{delta * 2:,} rows/wave regardless of frontier size;
+compaction re-pays O(state) every {compact_every} waves to keep the read-side
+delta stack bounded (amortized {base / (delta * compact_every):.0f}% of the
+old per-wave cost). The Iceberg deployment expresses the same deltas as
+`MERGE INTO` (grawler/store.py merge_sql; contract-tested).
+
+Raw: `{json.dumps(result)}`
+""")
+    print(f"wrote BENCH/COMMIT_COST.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -393,7 +393,10 @@ class CrawlEngine:
         # would otherwise each recompute the fetch join + parse UDF while
         # the cache is still being populated (measured 4x redundant parse
         # at 100k urls/wave). One pass here fills fetched+parsed caches.
+        _t0 = _time.time()
         n_parsed = parsed.count()
+        if _timing:
+            print(f"  [t] fetch+parse count: {_time.time() - _t0:.2f}s")
 
         seen_delta = parsed.select(
             "url",
@@ -496,18 +499,17 @@ class CrawlEngine:
             store_delta = store_rows
         store_delta = store_delta.persist()  # decode once: count + write
         persisted.append(store_delta)
+        _t0 = _time.time()
         n_stored = store_delta.count()
+        if _timing:
+            print(f"  [t] store_delta count: {_time.time() - _t0:.2f}s")
 
         # 9. metrics (north_rule: fetch/parse/dedup metrics). Counts reuse
         # cached intermediates (fetched/parsed/store_delta are persisted);
         # deduped = corpus-valid image refs minus newly stored rows, matching
         # the oracle's per-occurrence accounting.
-        n_fetched = ok.count()
-        n_errors = n_scheduled - n_fetched
-        n_img_refs = imgs.join(
-            self.images.select("image_id"), "image_id").count()
-        n_deduped = n_img_refs - n_stored
-        metrics = (
+        _t0 = _time.time()
+        part_rows = (
             fetched.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count("*").alias("scheduled"),
@@ -526,27 +528,28 @@ class CrawlEngine:
                                | (F.col("status") > cfg.http_error_threshold),
                                1)).alias("errors"),
             )
-            .select(
-                F.lit(wave).alias("wave"),
-                "partition_id",
-                F.col("scheduled").cast("long"),
-                F.col("fetched").cast("long"),
-                F.col("parsed").cast("long"),
-                # dedup/store are wave-global set ops, not attributable to a
-                # fetch partition: null here, real values in the summary row
-                F.lit(None).cast("long").alias("deduped"),
-                F.lit(None).cast("long").alias("stored"),
-                F.col("errors").cast("long"),
-                F.col("wall_ms").cast("long"),
-            )
-        )
-        # wave-summary row (partition_id = -1) — the oracle-comparable totals
-        summary = spark.createDataFrame(
-            [(wave, -1, n_scheduled, n_fetched, n_parsed, n_deduped,
-              n_stored, n_errors, None)],
+        ).collect()  # <= #partitions rows: bounded driver traffic
+        if _timing:
+            print(f"  [t] metrics collect: {_time.time() - _t0:.2f}s")
+        n_fetched = sum(r["fetched"] for r in part_rows)
+        n_errors = n_scheduled - n_fetched
+        _t0 = _time.time()
+        n_img_refs = imgs.join(
+            self.images.select("image_id"), "image_id").count()
+        if _timing:
+            print(f"  [t] img_refs count: {_time.time() - _t0:.2f}s")
+        n_deduped = n_img_refs - n_stored
+        # dedup/store are wave-global set ops, not attributable to a fetch
+        # partition: null in per-partition rows, real values in the summary
+        # row (partition_id = -1) — the oracle-comparable totals
+        metrics = spark.createDataFrame(
+            [(wave, r["partition_id"], r["scheduled"], r["fetched"],
+              r["parsed"], None, None, r["errors"], r["wall_ms"])
+             for r in part_rows]
+            + [(wave, -1, n_scheduled, n_fetched, n_parsed, n_deduped,
+                n_stored, n_errors, None)],
             schemas.METRICS,
         )
-        metrics = metrics.unionByName(summary)
 
         # A3: per-host fetch accounting (append delta; read-side aggregates
         # max(last_crawl_wave), sum(fetches) per host)

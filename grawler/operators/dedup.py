@@ -172,15 +172,21 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     that dominated dedup_simhash wall time. Docs with zero tokens get sh=0
     (explode_outer keeps them; null tokens vote 0 on every bit).
     """
+    # materialize the token hash ONCE before the aggregate: referencing the
+    # xxhash64 expression inside each of the 64 vote aggs would make
+    # Catalyst evaluate it 64x per token row (measured 4x wall blowup)
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(_tokens(text_col)).alias("tok"),
+    ).select(
+        "id",
+        # xxhash64(NULL) is the seed, not NULL: keep empty docs' null marker
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
-    h = F.xxhash64("tok")
     votes = [
         F.sum(
-            F.when(F.col("tok").isNull(), 0)
-            .when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.col("h").isNull(), 0)
+            .when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{i}")
         for i in range(64)

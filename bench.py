@@ -133,6 +133,40 @@ def bench_frontier_split(spark) -> dict:
     }
 
 
+def bench_ann_d512(spark, n: int = 20_000, dim: int = 512,
+                   n_queries: int = 8) -> float:
+    """Sign-LSH ANN at a realistic embedding dim (512): the signature is one
+    numpy matmul per Arrow batch — this entry exists to prove the plan holds
+    where the round-1 per-dimension inlined expressions hit the JVM codegen
+    method limit. Clustered vectors (i.i.d. gaussians have no true
+    neighbors at dim 512)."""
+    import numpy as np
+    import pandas as pd
+
+    from grawler.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(17)
+    n_clusters = 200
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    reps = n // n_clusters
+    vecs = (np.repeat(centers, reps, axis=0)
+            + 0.2 * rng.standard_normal((n_clusters * reps, dim))
+            .astype(np.float32))
+    pdf = pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.astype(float).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf).repartition(32).persist()
+    df.count()
+    q = df.where(F.col("vec_id") < n_queries)
+    t0 = time.time()
+    ann_lsh_topk(df, q, dim=dim, k=5, bits=10, tables=8).write.format(
+        "noop").mode("overwrite").save()
+    dt = time.time() - t0
+    df.unpersist()
+    return dt
+
+
 def bench_store(spark) -> tuple[float, float]:
     import pandas as pd
 
@@ -280,6 +314,8 @@ def main():
     timings["crawl_frontier_1m"] = round(f_dt, 3)
     s_dt, s_rate = bench_store(spark)
     timings["img_store_decode"] = round(s_dt, 3)
+    if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
+        timings["sim_ann_lsh_d512_20k"] = round(bench_ann_d512(spark), 3)
     w_rate = None
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
         w_dt, w_rate = bench_wave(

@@ -37,9 +37,13 @@ class CrawlConfig:
     # skew handling: hosts holding more than this share of a wave get salted
     hot_host_share: float = 0.20
     salt_buckets: int = 16
-    # bloom prefilter (seen-set shuffle avoidance; exactness preserved by
-    # the anti-join on maybe-seen rows)
+    # seen-set prefilter (shuffle avoidance; exactness preserved by the
+    # anti-join on maybe-seen rows). north_star allows bloom OR cuckoo:
+    # seen_filter selects the family; both share the segment state contract.
     use_bloom: bool = True
+    seen_filter: str = "bloom"           # "bloom" | "cuckoo"
+    cuckoo_buckets: int = 1 << 12        # per segment (power of two)
+    cuckoo_slots: int = 4
     bloom_segments: int = 64
     bloom_m: int = 1 << 17               # bits per segment; size up at scale
     bloom_num_hashes: int = 4

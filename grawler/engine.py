@@ -243,21 +243,31 @@ class CrawlEngine:
         stale_before = ts - dt.timedelta(days=cfg.robots_ttl_days)
         persisted: list[DataFrame] = []
 
-        # 1. F3/J1 — exact dedup vs seen; bloom prefilter routes definitely-
-        # unseen rows around the shuffle (north_star: partitioned xxhash64
-        # bloom; exactness preserved — see grawler.bloom)
+        # 1. F3/J1 — exact dedup vs seen; a bloom OR cuckoo prefilter routes
+        # definitely-unseen rows around the shuffle (north_star: partitioned
+        # xxhash64 bloom/cuckoo; exactness preserved — see grawler.bloom /
+        # grawler.cuckoo)
         if cfg.use_bloom and bloom_segments is not None:
-            total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
-            probe = (
-                bloom.bloom_anti_join
-                if total_bytes <= cfg.bloom_broadcast_max_bytes
-                else bloom.bloom_anti_join_cogroup
-            )
-            cand = probe(
-                frontier, seen, bloom_segments,
-                m=cfg.bloom_m, k=cfg.bloom_num_hashes,
-                n_segments=cfg.bloom_segments,
-            )
+            if cfg.seen_filter == "cuckoo":
+                from . import cuckoo
+
+                cand = cuckoo.cuckoo_anti_join(
+                    frontier, seen, bloom_segments,
+                    buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots,
+                    n_segments=cfg.bloom_segments,
+                )
+            else:
+                total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
+                probe = (
+                    bloom.bloom_anti_join
+                    if total_bytes <= cfg.bloom_broadcast_max_bytes
+                    else bloom.bloom_anti_join_cogroup
+                )
+                cand = probe(
+                    frontier, seen, bloom_segments,
+                    m=cfg.bloom_m, k=cfg.bloom_num_hashes,
+                    n_segments=cfg.bloom_segments,
+                )
         else:
             cand = frontier.join(seen.select("url"), "url", "left_anti")
 
@@ -571,14 +581,28 @@ class CrawlEngine:
             "pages_meta": pages_meta,
         }
         if cfg.use_bloom:
-            new_segs = bloom.build_segments(
-                seen_delta, n_segments=cfg.bloom_segments,
-                m=cfg.bloom_m, k=cfg.bloom_num_hashes,
-            )
-            tables["bloom"] = (
-                bloom.merge_segment_sets(bloom_segments, new_segs)
-                if bloom_segments is not None else new_segs
-            )
+            if cfg.seen_filter == "cuckoo":
+                from . import cuckoo
+
+                new_segs = cuckoo.build_segments(
+                    seen_delta, n_segments=cfg.bloom_segments,
+                    buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots,
+                )
+                tables["bloom"] = (
+                    cuckoo.merge_segment_sets(
+                        bloom_segments, new_segs,
+                        buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots)
+                    if bloom_segments is not None else new_segs
+                )
+            else:
+                new_segs = bloom.build_segments(
+                    seen_delta, n_segments=cfg.bloom_segments,
+                    m=cfg.bloom_m, k=cfg.bloom_num_hashes,
+                )
+                tables["bloom"] = (
+                    bloom.merge_segment_sets(bloom_segments, new_segs)
+                    if bloom_segments is not None else new_segs
+                )
         manifest = self.state.commit_wave(wave, tables)
         for df in persisted:
             df.unpersist()

@@ -129,6 +129,21 @@ def with_lsh_buckets(
     )
 
 
+def _bucket_keys(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 bits: int, tables: int, seed: int) -> DataFrame:
+    """(id, bucket_table, bucket_sig) ONLY — the embedding never rides
+    through the tables-way explode. At dim 512 x 8 tables, carrying vectors
+    through the explode shuffles ~8x the corpus bytes; keys-only keeps the
+    candidate join narrow and vectors are re-attached by id afterwards."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    sig = _signatures_udf(planes)
+    return df.select(
+        id_col,
+        F.posexplode(sig(F.col(vec_col))).alias("bucket_table",
+                                                "bucket_sig"),
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -141,26 +156,27 @@ def ann_lsh_topk(
     seed: int = 11,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >=1 table,
-    re-ranked by exact cosine. Recall rises with `tables`."""
-    nb = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("nv")),
-        dim, "nv", bits, tables, seed,
-    )
-    qb = with_lsh_buckets(
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv")),
-        dim, "qv", bits, tables, seed,
-    )
+    re-ranked by exact cosine. Recall rises with `tables`. Bucket keys are
+    exploded WITHOUT the vectors; vectors re-attach by id post-join."""
+    n = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    nb = _bucket_keys(n, "neighbor_id", "nv", dim, bits, tables, seed)
+    qb = _bucket_keys(q, "query_id", "qv", dim, bits, tables, seed)
     cand = (
         qb.join(nb, ["bucket_table", "bucket_sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("nv"))
-        / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+    scored = (
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")  # queries are the small side
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("nv"))
+            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -256,12 +272,12 @@ def embedding_neardup(
     tables: int = 8,
     seed: int = 11,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine (id_a < id_b)."""
-    b = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("id"),
-                          F.col(vec_col).alias("v")),
-        dim, "v", bits, tables, seed,
-    )
+    """Near-duplicate pairs by embedding cosine (id_a < id_b). Bucket keys
+    exploded without vectors; vectors re-attach by id on the candidate
+    pairs (narrow self-join survives wide embeddings)."""
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+    b = _bucket_keys(e, "id", "v", dim, bits, tables, seed)
     cand = (
         b.alias("l")
         .join(
@@ -272,14 +288,14 @@ def embedding_neardup(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("id_a"), F.col("l.v").alias("va"),
-            F.col("r.id").alias("id_b"), F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.withColumn(
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb"))
             / (_norm(F.col("va")) * _norm(F.col("vb"))),

@@ -1,0 +1,103 @@
+"""Cuckoo-filter prefilter: no false negatives, sane fp rate, saturation
+degrades gracefully, merge preserves membership, engine equivalence."""
+
+import dataclasses
+
+import pyspark.sql.functions as F
+import pytest
+
+from grawler import cuckoo, synthgen
+from grawler.conf import CrawlConfig
+from grawler.engine import build_engine
+
+
+def _urls(spark, lo, hi, tag="s"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"http://h{tag}"), F.pmod("id", F.lit(50)),
+                 F.lit(".example/"), "id").alias("url"))
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    seen = _urls(spark, 0, 3000)
+    segs = cuckoo.build_segments(seen, buckets=1 << 10).persist()
+    assert segs.where("n_keys < 0").count() == 0  # no saturation at 3k keys
+    seg_rows = segs.collect()
+    seg_map = {r["segment"]: bytes(r["bits"]) for r in seg_rows}
+    probe = cuckoo.make_probe_udf(seg_map, set(), 1 << 10, 4)
+    u = F.col("url")
+
+    def flag(df):
+        return df.withColumn("m", probe(
+            cuckoo._segment_col(u, 64), cuckoo._fp_col(u),
+            cuckoo._i1_col(u, 1 << 10)))
+
+    # every inserted url MUST probe maybe-seen (no false negatives)
+    assert flag(seen).where("NOT m").count() == 0
+    # disjoint urls: false-positive rate well under 5%
+    fresh = _urls(spark, 100_000, 103_000)
+    fp = flag(fresh).where("m").count()
+    assert fp / 3000 < 0.05
+    segs.unpersist()
+
+
+def test_anti_join_exactness(spark):
+    seen = _urls(spark, 0, 2000)
+    frontier = _urls(spark, 1000, 4000)  # 1000 overlap
+    segs = cuckoo.build_segments(seen, buckets=1 << 10)
+    got = cuckoo.cuckoo_anti_join(frontier, seen, segs, buckets=1 << 10)
+    want = frontier.join(seen, "url", "left_anti")
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in want.collect())
+
+
+def test_saturated_segment_degrades_to_exact(spark):
+    seen = _urls(spark, 0, 5000)
+    # 8 buckets x 4 slots x 64 segments = 2048 capacity << 5000 keys
+    segs = cuckoo.build_segments(seen, buckets=8).persist()
+    assert segs.where("n_keys < 0").count() > 0  # saturation happened
+    frontier = _urls(spark, 2500, 7500)
+    got = cuckoo.cuckoo_anti_join(frontier, seen, segs, buckets=8)
+    want = frontier.join(seen, "url", "left_anti")
+    assert got.count() == want.count()  # still exact
+    segs.unpersist()
+
+
+def test_merge_preserves_membership(spark):
+    a = _urls(spark, 0, 1500)
+    b = _urls(spark, 1500, 3000)
+    merged = cuckoo.merge_segment_sets(
+        cuckoo.build_segments(a, buckets=1 << 10),
+        cuckoo.build_segments(b, buckets=1 << 10),
+        buckets=1 << 10).persist()
+    seg_rows = merged.collect()
+    seg_map = {r["segment"]: bytes(r["bits"]) for r in seg_rows}
+    sat = {r["segment"] for r in seg_rows if r["n_keys"] < 0}
+    probe = cuckoo.make_probe_udf(seg_map, sat, 1 << 10, 4)
+    u = F.col("url")
+    both = _urls(spark, 0, 3000)
+    misses = both.withColumn("m", probe(
+        cuckoo._segment_col(u, 64), cuckoo._fp_col(u),
+        cuckoo._i1_col(u, 1 << 10))).where("NOT m").count()
+    assert misses == 0
+    merged.unpersist()
+
+
+def test_engine_cuckoo_equivalent_to_bloom(spark, tmp_path):
+    """Swapping the prefilter family must never change crawl results."""
+    web = synthgen.generate(seed=3, n_pages=60, shape="mixed")
+    base = CrawlConfig()
+    cfg_c = dataclasses.replace(base, seen_filter="cuckoo",
+                                cuckoo_buckets=1 << 8)
+    cfg_b = dataclasses.replace(base, bloom_m=1 << 14)
+    e1, s1 = build_engine(spark, web, str(tmp_path / "c"), cfg_c)
+    r1 = e1.run(s1, max_waves=3)
+    e2, s2 = build_engine(spark, web, str(tmp_path / "b"), cfg_b)
+    r2 = e2.run(s2, max_waves=3)
+    a = [(r["wave"], r["seq"], r["url"])
+         for r in r1.trace().orderBy("wave", "seq").collect()]
+    b = [(r["wave"], r["seq"], r["url"])
+         for r in r2.trace().orderBy("wave", "seq").collect()]
+    assert a == b
+    sa = sorted(r["url"] for r in r1.seen().collect())
+    sb = sorted(r["url"] for r in r2.seen().collect())
+    assert sa == sb

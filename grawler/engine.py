@@ -184,12 +184,16 @@ class CrawlEngine:
         cfg: CrawlConfig = DEFAULT,
         robots_cache_init: DataFrame | None = None,
         fetcher=None,
+        state_store=None,
     ):
         from .fetch import SimFetcher
 
         self.spark = spark
         self.cfg = cfg
-        self.state = LocalSnapshotStore(spark, warehouse)
+        # storage seam: LocalSnapshotStore (parquet + manifest lineage) in
+        # the sandbox; pass an IcebergSnapshotStore for the spark-submit
+        # deployment (same commit_wave/read/last_wave contract)
+        self.state = state_store or LocalSnapshotStore(spark, warehouse)
         self.agent_allowed = make_agent_allowed_udf(cfg.user_agent)
         self.robots_cache_init = robots_cache_init
         # the fetch seam: SimFetcher joins the synthetic web (sandbox
@@ -620,6 +624,10 @@ class CrawlEngine:
         cfg, spark = self.cfg, self.spark
         max_waves = max_waves if max_waves is not None else cfg.max_waves
 
+        if resume and hasattr(self.state, "recover"):
+            # Iceberg backend: roll back orphan writes from a wave that
+            # began but never committed, BEFORE reading any state
+            self.state.recover()
         last = self.state.last_wave() if resume else None
         bloom_segments = None
         if last is not None:

@@ -107,24 +107,37 @@ def langid(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
-_FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+_FP_BASE = np.uint64(1099511628211)  # odd multiplier (full period mod 2^64)
+
+
+def fingerprint64_one(data: bytes) -> int:
+    """Rabin–Karp polynomial hash mod 2^64, fully numpy-vectorized:
+    fp = sum(byte_i * BASE^(n-1-i)). An earlier FNV-style fold (xor then
+    multiply per byte) was a sequential per-byte python loop; the
+    polynomial form is one vectorized multiply-accumulate per document."""
+    if not data:
+        return 0
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.multiply.accumulate(
+            np.full(len(b), _FP_BASE, dtype=np.uint64))  # B^1..B^n
+        pows_desc = np.concatenate(
+            [acc[:-1][::-1], np.ones(1, dtype=np.uint64)])  # B^(n-1)..B^0
+        fp = np.uint64((b * pows_desc).sum(dtype=np.uint64))
+    return int(fp.view(np.int64))
 
 
 @pandas_udf(LongType())
 def fingerprint64_udf(text: pd.Series) -> pd.Series:
-    """Rolling polynomial hash over normalized word tokens (mod 2^64)."""
+    """Fingerprint of the normalized token stream ('tok1 tok2 ... ')."""
     import re
 
     word_re = re.compile(WORD_RE)
     out = np.empty(len(text), dtype=np.int64)
-    with np.errstate(over="ignore"):
-        for i, t in enumerate(text):
-            acc = np.uint64(14695981039346656037)
-            for tok in word_re.findall((t or "").lower()):
-                for byt in tok.encode():
-                    acc = (acc ^ np.uint64(byt)) * _FP_BASE
-                acc = (acc ^ np.uint64(32)) * _FP_BASE  # token separator
-            out[i] = acc.view(np.int64)
+    for i, t in enumerate(text):
+        toks = word_re.findall((t or "").lower())
+        out[i] = fingerprint64_one(
+            (" ".join(toks) + " ").encode() if toks else b"")
     return pd.Series(out)
 
 

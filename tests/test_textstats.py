@@ -63,12 +63,15 @@ def test_fingerprint_matches_numpy_oracle(spark):
     assert got[0] != got[3]
 
     def oracle_fp(t):
-        acc = np.uint64(14695981039346656037)
-        with np.errstate(over="ignore"):
-            for tok in re.findall(r"\w+", t.lower()):
-                for byt in tok.encode():
-                    acc = (acc ^ np.uint64(byt)) * textstats._FP_BASE
-                acc = (acc ^ np.uint64(32)) * textstats._FP_BASE
-        return acc.view(np.int64) if hasattr(acc, "view") else acc
+        """Independent scalar-python Rabin-Karp: fp = sum b_i * B^(n-1-i)
+        mod 2^64 over the 'tok1 tok2 ... ' byte stream."""
+        toks = re.findall(r"\w+", t.lower())
+        data = (" ".join(toks) + " ").encode() if toks else b""
+        acc = 0
+        for byt in data:
+            acc = (acc * int(textstats._FP_BASE) + byt) % (1 << 64)
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
 
-    assert got[0] == int(np.uint64(oracle_fp(texts[0])).view(np.int64))
+    for i, t in enumerate(texts):
+        assert got[i] == oracle_fp(t), i
+    assert textstats.fingerprint64_one(b"") == 0

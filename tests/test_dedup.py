@@ -70,6 +70,53 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark):
         assert j >= 0.5
 
 
+def test_minhash_lsh_matches_python_pipeline_oracle(spark):
+    """END-TO-END independent replication of the minhash-LSH pipeline in
+    pure Python: shingle sets -> xxh64 mod Mersenne -> 64 affine minhashes
+    -> banded hashes (chained xxhash64 over [band_idx, mh...]) -> candidate
+    pairs sharing a bucket -> exact Jaccard filter. Exact pair set AND
+    jaccard values must match the Spark operator."""
+    from grawler.xxh import spark_xxhash64
+
+    rows = [(r["doc_id"], r["text"]) for r in _docs(spark).collect()]
+    P = dedup.MERSENNE_P
+    num_hashes, bands, n, seed, threshold = 64, 16, 3, 7, 0.3
+    rows_per_band = num_hashes // bands
+    a, b = dedup._affine_params(num_hashes, seed)
+    sets_ = _shingle_sets(rows, n)
+
+    sigs = {}
+    for i, sh in sets_.items():
+        if not sh:
+            continue
+        hs = [spark_xxhash64(s) % P for s in sh]
+        sigs[i] = [min((h * int(a[k]) + int(b[k])) % P for h in hs)
+                   for k in range(num_hashes)]
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, spark_xxhash64(
+                np.int32(bi),
+                *sig[bi * rows_per_band:(bi + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(i)
+    cand = {tuple(sorted((x, y)))
+            for ids in buckets.values()
+            for x in ids for y in ids if x < y}
+    want = {}
+    for x, y in cand:
+        j = len(sets_[x] & sets_[y]) / len(sets_[x] | sets_[y])
+        if j >= threshold:
+            want[(x, y)] = round(j, 6)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dedup.minhash_lsh_pairs(
+            _docs(spark), n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, seed=seed).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_simhash_exact_dups_zero_hamming(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in dedup.simhash_pairs(_docs(spark)).collect()}
@@ -78,24 +125,19 @@ def test_simhash_exact_dups_zero_hamming(spark):
 
 
 def test_simhash_matches_numpy_oracle(spark):
-    """Voting/bit-pack logic vs a numpy oracle. Per-token hashes are taken
-    from Spark's own xxhash64 (simhash has no canonical hash function — the
-    oracle checks the simhash *math* given those hashes), including the
-    repeated-token weighting and the empty-document -> 0 case."""
-    import pyspark.sql.functions as F
-
+    """Fully independent oracle: per-token hashes from the pure-Python
+    XXH64 (grawler.xxh), voting/bit-pack in numpy — nothing reuses Spark,
+    including the repeated-token weighting and the empty-document -> 0
+    case."""
     texts = ["alpha beta gamma", "alpha beta gamma delta",
              "alpha alpha alpha beta", "...!!!"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "doc_id long, text string")
     got = {r["id"]: r["sh"] for r in dedup.simhash_signatures(df).collect()}
-    all_toks = sorted({t for s in texts for t in re.findall(r"\w+", s.lower())})
-    hmap = {
-        r["tok"]: r["h"]
-        for r in spark.createDataFrame([(t,) for t in all_toks],
-                                       "tok string")
-        .select("tok", F.xxhash64("tok").alias("h")).collect()
-    }
+    from grawler.xxh import spark_xxhash64
+
+    all_toks = {t for s in texts for t in re.findall(r"\w+", s.lower())}
+    hmap = {t: spark_xxhash64(t) for t in all_toks}  # no Spark involved
     for i, t in enumerate(texts):
         toks = re.findall(r"\w+", t.lower())
         if not toks:

@@ -265,6 +265,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster canonicalization: near-dup pairs -> connected
+    components (min-label propagation) -> (id, component); keep id ==
+    component. DuckDB oracles it with a recursive transitive closure."""
+    from grawler.operators.dedup import (connected_components,
+                                         ngram_jaccard_pairs)
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return connected_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from grawler.operators.dedup import simhash_pairs
 
@@ -471,6 +483,22 @@ def q_img_features(spark, sf_dir):
     )
 
 
+def q_img_neardup_phash(spark, sf_dir):
+    """Image near-dup pairs by phash hamming (banded buckets) over a
+    deterministic noise corpus: each image has a lightly-perturbed variant
+    within a few avg-hash bits, unrelated images sit ~32 bits apart."""
+    from grawler import synthgen
+    from grawler.engine import decode_phash_udf
+    from grawler.operators.images import phash_neardup
+
+    rows = synthgen.neardup_image_corpus()
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    ph = images.withColumn(
+        "ph", decode_phash_udf(F.col("bytes"), F.lit("rgb8"))
+    ).select("image_id", F.col("ph.phash").alias("phash"))
+    return phash_neardup(ph, max_hamming=6, n_bands=8)
+
+
 def q_img_phash(spark, sf_dir):
     """Decode + phash the synthetic image corpus (C10 plumbing: binary
     column -> Arrow batch -> numpy decode -> LongType)."""
@@ -532,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_wave_cap_topk": q_w2_wave_cap_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -550,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_budget": q_crawl_host_budget,
         "crawl_metrics": q_crawl_metrics,
         "img_phash": q_img_phash,
+        "img_neardup_phash": q_img_neardup_phash,
         "img_resize": q_img_resize,
         "img_features": q_img_features,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -600,6 +630,23 @@ def _values_oracles() -> dict[str, str]:
 
 _WORD = r"\w+"
 _STOP = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+# shared CTE chain: token 3-gram shingles -> pair intersections (used by
+# dedup_ngram_jaccard and, with a recursive closure on top, dedup_components)
+_NGRAM_CTES = rf"""toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS t
+              FROM documents WHERE doc_id < 300),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+              FROM toks WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
 _MARK = {
     "en": r"\b(the|and|of|to|in)\b",
     "de": r"\b(der|die|das|und|ist)\b",
@@ -719,27 +766,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_ngram_jaccard": rf"""
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '{_WORD}') AS t
-              FROM documents WHERE doc_id < 300),
-            grams AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, len(t) - 2),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-              FROM toks WHERE len(t) >= 3),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM grams a JOIN grams b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+            WITH {_NGRAM_CTES}
             SELECT id_a, id_b,
                    round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5
+        """,
+        "dedup_components": rf"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+            SELECT u AS id, least(u, min(v)) AS component
+            FROM reach GROUP BY u
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -160,6 +160,57 @@ def minhash_lsh_pairs(
     return out
 
 
+# ------------------------------------------------- duplicate clusters
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node in `pairs`; component = min node id
+    reachable — the canonical-representative step that turns near-dup PAIRS
+    into KEEP/DROP decisions (keep id == component).
+
+    Distributed min-label propagation: each round every node takes the min
+    label over itself + neighbors (one shuffle per round), stopping when a
+    round changes nothing. Rounds needed = graph diameter, which for
+    near-dup clusters is tiny (dups of a doc are dups of each other);
+    star-contraction (Kiveris et al., SoCC'14) is the drop-in upgrade if a
+    workload ever shows long chains. Checkpointed via localCheckpoint every
+    few rounds so the lineage doesn't grow unboundedly."""
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for it in range(max_iter):
+        # neighbor labels: edge (u,v) proposes label(v) to u
+        prop = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        if it % 4 == 3:  # bound lineage growth across iterations
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("id"),
+                         F.col("label").alias("component"))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
@@ -202,18 +253,25 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return agg.select("id", fp.alias("sh"))
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash: 16-bit band buckets (any pair within
-    hamming<=3 of a 64-bit hash shares at least one of 4 bands), then exact
-    hamming verify via bit_count(xor)."""
-    sh = simhash_signatures(df, text_col, id_col)
-    bands = sh.select(
-        "id", "sh",
+def hamming_band_pairs(sig: DataFrame, id_col: str = "id",
+                       hash_col: str = "sh",
+                       max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """Pairs within hamming<=max_hamming over a 64-bit hash column, via
+    band buckets: pigeonhole guarantees any pair within h differing bits
+    shares at least one of n_bands > h disjoint bands; candidates are the
+    band-bucket equi-join (never all-pairs), verified by bit_count(xor).
+    Shared by simhash (text) and phash (image) near-dup."""
+    assert 64 % n_bands == 0 and n_bands > max_hamming
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = sig.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("sh"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftrightunsigned(F.col(hash_col), width * i)
+                .bitwiseAND(F.lit(mask))
+                for i in range(n_bands)
             ])
         ).alias("band", "band_val"),
     )
@@ -238,8 +296,17 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: 16-bit band buckets (any pair within
+    hamming<=3 of a 64-bit hash shares at least one of 4 bands), then exact
+    hamming verify via bit_count(xor)."""
+    sh = simhash_signatures(df, text_col, id_col)
+    return hamming_band_pairs(sh, "id", "sh", max_hamming, n_bands=4)
 
 
 # ------------------------------------------------------- ngram jaccard

@@ -103,6 +103,22 @@ def features(df: DataFrame, bytes_col: str = "bytes",
         run, schema="image_id string, features array<double>")
 
 
+def phash_neardup(df: DataFrame, id_col: str = "image_id",
+                  phash_col: str = "phash",
+                  max_hamming: int = 6, n_bands: int = 8) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance
+    (id_a < id_b, hamming <= max_hamming) — the image-payload sibling of
+    text simhash dedup, sharing the banded-bucket candidate join
+    (dedup.hamming_band_pairs): 8 disjoint 8-bit bands guarantee any pair
+    within hamming 6 collides in >=1 band; bucket equi-join, never
+    all-pairs."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        df.select(id_col, phash_col), id_col, phash_col,
+        max_hamming=max_hamming, n_bands=n_bands)
+
+
 def audio_frame_sample(df: DataFrame, every_ms: int = 1000,
                        fake: bool = False) -> DataFrame:
     """STUB: audio decoders unavailable in this sandbox. With fake=True,

@@ -78,6 +78,27 @@ def _filler(i: int, k: int = 12) -> str:
     return " ".join(_WORDS[(i * 13 + j * 5) % len(_WORDS)] for j in range(k))
 
 
+def neardup_image_corpus(n: int = 48, side: int = 24, seed: int = 99):
+    """Deterministic fixture for phash near-dup: n random-noise rgb8 images
+    plus a lightly-perturbed variant of each ('<id>-v', 12 pixels of
+    side*side redrawn). Noise images have well-separated average-hashes
+    (expected hamming ~32 between unrelated), while each variant stays
+    within a few bits of its original — unlike the crawl corpus's patterned
+    images, whose avg-hashes collapse to a handful of values.
+    Returns [(image_id, rgb8_bytes)]."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        px = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+        rows.append((f"nd-{i:03d}", codecs.encode_rgb8(px)))
+        noisy = px.copy()
+        ys = rng.integers(0, side, 12)
+        xs = rng.integers(0, side, 12)
+        noisy[ys, xs] = rng.integers(0, 256, (12, 3), dtype=np.uint8)
+        rows.append((f"nd-{i:03d}-v", codecs.encode_rgb8(noisy)))
+    return rows
+
+
 def gen_image(image_id: str, idx: int) -> tuple[np.ndarray, str, str]:
     """Deterministic pixels + fmt + caption for one image."""
     rng = np.random.default_rng(zlib.crc32(image_id.encode()) % (2**31))

@@ -117,6 +117,35 @@ def test_minhash_lsh_matches_python_pipeline_oracle(spark):
     assert got == want and len(want) > 0
 
 
+def test_connected_components_matches_union_find(spark):
+    """Label propagation vs a python union-find, including a 4-hop chain
+    (multiple propagation rounds) and disjoint clusters."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain -> comp 1
+             (10, 11),                            # pair  -> comp 10
+             (20, 22), (21, 22),                  # star  -> comp 20
+             (7, 7)]                              # self-loop
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    assert got[5] == 1 and got[22] == 20 and got[7] == 7
+
+
 def test_simhash_exact_dups_zero_hamming(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in dedup.simhash_pairs(_docs(spark)).collect()}

@@ -1,6 +1,7 @@
 """Multimodal image operators: real numpy paths + stub policy."""
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from grawler import codecs, synthgen
@@ -56,3 +57,39 @@ def test_stub_fake_plumbing_runs(spark, image_df):
     rows = out.collect()
     assert len(rows) == 3 * len(web.images)
     assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_phash_neardup_finds_variants(spark):
+    """Each noise image pairs with exactly its perturbed variant; unrelated
+    noise images (~32 hamming apart) never pair. Pairs + distances match a
+    python banding replication (same pigeonhole guarantee)."""
+    from grawler import codecs, synthgen
+    from grawler.engine import decode_phash_udf
+
+    rows = synthgen.neardup_image_corpus(n=24)
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    ph = df.withColumn(
+        "ph", decode_phash_udf(F.col("bytes"), F.lit("rgb8"))
+    ).select("image_id", F.col("ph.phash").alias("phash"))
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in images.phash_neardup(ph, max_hamming=6).collect()}
+
+    hashes = {iid: codecs.phash64(codecs.decode(data, "rgb8"))
+              for iid, data in rows}
+    M = (1 << 64) - 1
+    buckets = {}
+    for iid, h in hashes.items():
+        for bi in range(8):
+            buckets.setdefault(
+                (bi, ((h & M) >> (8 * bi)) & 0xFF, ), []).append(iid)
+    want = {}
+    for ids in buckets.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    ham = bin((hashes[x] ^ hashes[y]) & M).count("1")
+                    if ham <= 6:
+                        want[(x, y)] = ham
+    assert got == want and len(got) > 0
+    for (a, b) in got:
+        assert b == a + "-v"  # only true variants pair up

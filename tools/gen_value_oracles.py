@@ -120,6 +120,34 @@ def main() -> None:
         fv = feature_vec(px)
         ft_rows.append([r["image_id"], spark_round(fv[0]),
                         spark_round(fv[6]), FEATURE_DIM])
+    # img_neardup_phash: python replication of the banded hamming join over
+    # the deterministic noise corpus (originals + perturbed variants)
+    phashes: dict[str, int] = {}
+    for iid, data in synthgen.neardup_image_corpus():
+        phashes[iid] = codecs.phash64(codecs.decode(data, "rgb8"))
+    n_bands, width, max_h = 8, 8, 6
+    buckets: dict = {}
+    for iid, ph in phashes.items():
+        u = ph & ((1 << 64) - 1)
+        for bi in range(n_bands):
+            buckets.setdefault(
+                (bi, (u >> (width * bi)) & ((1 << width) - 1)), []
+            ).append(iid)
+    nd_rows = set()
+    for ids in buckets.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    ham = bin((phashes[x] ^ phashes[y])
+                              & ((1 << 64) - 1)).count("1")
+                    if ham <= max_h:
+                        nd_rows.add((x, y, ham))
+    out["img_neardup_phash"] = {
+        "columns": ["id_a", "id_b", "hamming"],
+        "types": ["VARCHAR", "VARCHAR", "INTEGER"],
+        "rows": sorted(list(r) for r in nd_rows),
+    }
+
     # pandas int64 -> Spark LongType for the corpus-frame w/h in img_phash
     out["img_phash"] = {
         "columns": ["image_id", "w", "h", "fmt", "phash", "decode_ok"],

@@ -73,3 +73,99 @@ def test_iceberg_merge_sql():
             in sql)
     assert "INSERT OVERWRITE" not in sql
     assert "ON t.host = s.host" in st.merge_sql("robots_cache", ["host"])
+
+
+def _delta(spark, adds, removes, extra=0):
+    """Build a frontier-style merge delta: adds are full rows, removes are
+    url-only with nulls."""
+    import pyspark.sql.functions as F
+
+    rows = [(u, "p", "h", 1, 0, extra, "/x", "add") for u in adds] + [
+        (u, None, None, None, None, None, None, "remove") for u in removes]
+    return spark.createDataFrame(
+        rows, "url string, parent_url string, host string, depth int, "
+              "priority int, wave int, path string, _op string")
+
+
+def test_merge_table_delta_semantics(spark, tmp_path):
+    """add/remove resolution: latest wave wins, same-wave add beats remove,
+    removed keys can be re-added later."""
+    s = LocalSnapshotStore(spark, str(tmp_path), compact_every=100)
+    s.commit_wave(0, {"frontier": _delta(spark, ["a", "b", "c"], [])})
+    s.commit_wave(1, {"frontier": _delta(spark, ["d"], ["b"])})
+    assert sorted(r["url"] for r in s.read("frontier").collect()) == [
+        "a", "c", "d"]
+    # same-wave remove+add of one key: add wins (denied-then-rediscovered)
+    s.commit_wave(2, {"frontier": _delta(spark, ["b"], ["b", "d"])})
+    assert sorted(r["url"] for r in s.read("frontier").collect()) == [
+        "a", "b", "c"]
+    # upto_wave replays history
+    assert sorted(r["url"] for r in s.read("frontier", upto_wave=0)
+                  .collect()) == ["a", "b", "c"]
+    assert sorted(r["url"] for r in s.read("frontier", upto_wave=1)
+                  .collect()) == ["a", "c", "d"]
+
+
+def test_merge_table_compaction_preserves_state(spark, tmp_path):
+    """Compaction rewrites a resolved snapshot and later reads start there;
+    results identical with and without compaction, including upto_wave
+    across the compaction boundary."""
+    a = LocalSnapshotStore(spark, str(tmp_path / "a"), compact_every=2)
+    b = LocalSnapshotStore(spark, str(tmp_path / "b"), compact_every=100)
+    history = [
+        (["a", "b", "c"], []),
+        (["d"], ["a"]),
+        (["e"], ["b"]),      # wave 2: compaction in store a
+        (["a"], ["e"]),      # re-add a removed key after compaction
+        ([], ["c"]),         # wave 4: compaction in store a
+    ]
+    for w, (adds, removes) in enumerate(history):
+        for st in (a, b):
+            st.commit_wave(w, {"frontier": _delta(spark, adds, removes, w)})
+    ma = sorted((r["url"], r["wave"]) for r in a.read("frontier").collect())
+    mb = sorted((r["url"], r["wave"]) for r in b.read("frontier").collect())
+    assert ma == mb == [("a", 3), ("d", 1)]
+    for w in range(5):
+        ua = sorted(r["url"] for r in a.read("frontier", upto_wave=w)
+                    .collect())
+        ub = sorted(r["url"] for r in b.read("frontier", upto_wave=w)
+                    .collect())
+        assert ua == ub, w
+    # compaction manifests recorded
+    modes = [m["tables"]["frontier"]["mode"] for m in a.manifests()]
+    assert modes == ["merge", "merge", "compact", "merge", "compact"]
+
+
+def test_engine_resume_across_compaction_boundary(spark, tmp_path):
+    """Golden + kill/resume with compact_every=2 so waves cross compaction:
+    results must equal the uninterrupted run and the oracle-backed full
+    crawl (same check as test_resume_no_duplicate_fetches, tighter store)."""
+    from grawler import synthgen
+    from grawler.engine import CrawlEngine
+    from grawler.synthgen import spark_tables
+
+    web = synthgen.generate(seed=5, n_pages=80, shape="diamond")
+
+    def engine(path):
+        seeds, pages, robots, images = spark_tables(spark, web)
+        eng = CrawlEngine(
+            spark, pages, robots, images, path, CFG,
+            robots_cache_init=robots,
+            state_store=LocalSnapshotStore(spark, path, compact_every=2))
+        return eng, seeds
+
+    full_dir, part_dir = str(tmp_path / "full"), str(tmp_path / "part")
+    e1, s1 = engine(full_dir)
+    full = e1.run(s1, max_waves=4)
+    e2, s2 = engine(part_dir)
+    e2.run(s2, max_waves=3)  # kill after wave 2 (compaction happened)
+    e3, s3 = engine(part_dir)
+    resumed = e3.run(s3, max_waves=4, resume=True)
+    aa = sorted((r["wave"], r["seq"], r["url"])
+                for r in full.trace().collect())
+    bb = sorted((r["wave"], r["seq"], r["url"])
+                for r in resumed.trace().collect())
+    assert aa == bb
+    fa = sorted(r["url"] for r in full.frontier().collect())
+    fb = sorted(r["url"] for r in resumed.frontier().collect())
+    assert fa == fb

@@ -138,6 +138,47 @@ def decode_phash_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["phash", "dec_w", "dec_h", "ok"])
 
 
+def _seen_filter_fns(cfg: CrawlConfig):
+    """(probe, build, merge) for the configured seen-prefilter family —
+    the single dispatch point for cfg.seen_filter ('bloom' | 'cuckoo');
+    both families share the segment state contract (BLOOM_SEGMENT rows)."""
+    if cfg.seen_filter == "cuckoo":
+        from . import cuckoo
+
+        def probe(frontier, seen, segs):
+            return cuckoo.cuckoo_anti_join(
+                frontier, seen, segs, buckets=cfg.cuckoo_buckets,
+                slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments)
+
+        def build(delta):
+            return cuckoo.build_segments(
+                delta, n_segments=cfg.bloom_segments,
+                buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots)
+
+        def merge(old, new):
+            return cuckoo.merge_segment_sets(
+                old, new, buckets=cfg.cuckoo_buckets,
+                slots=cfg.cuckoo_slots)
+    else:
+        def probe(frontier, seen, segs):
+            total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
+            fn = (bloom.bloom_anti_join
+                  if total_bytes <= cfg.bloom_broadcast_max_bytes
+                  else bloom.bloom_anti_join_cogroup)
+            return fn(frontier, seen, segs, m=cfg.bloom_m,
+                      k=cfg.bloom_num_hashes, n_segments=cfg.bloom_segments)
+
+        def build(delta):
+            return bloom.build_segments(
+                delta, n_segments=cfg.bloom_segments,
+                m=cfg.bloom_m, k=cfg.bloom_num_hashes)
+
+        def merge(old, new):
+            return bloom.merge_segment_sets(old, new)
+
+    return probe, build, merge
+
+
 @dataclass
 class CrawlResult:
     waves: int
@@ -252,26 +293,8 @@ class CrawlEngine:
         # xxhash64 bloom/cuckoo; exactness preserved — see grawler.bloom /
         # grawler.cuckoo)
         if cfg.use_bloom and bloom_segments is not None:
-            if cfg.seen_filter == "cuckoo":
-                from . import cuckoo
-
-                cand = cuckoo.cuckoo_anti_join(
-                    frontier, seen, bloom_segments,
-                    buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots,
-                    n_segments=cfg.bloom_segments,
-                )
-            else:
-                total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
-                probe = (
-                    bloom.bloom_anti_join
-                    if total_bytes <= cfg.bloom_broadcast_max_bytes
-                    else bloom.bloom_anti_join_cogroup
-                )
-                cand = probe(
-                    frontier, seen, bloom_segments,
-                    m=cfg.bloom_m, k=cfg.bloom_num_hashes,
-                    n_segments=cfg.bloom_segments,
-                )
+            probe, _build, _merge = _seen_filter_fns(cfg)
+            cand = probe(frontier, seen, bloom_segments)
         else:
             cand = frontier.join(seen.select("url"), "url", "left_anti")
 
@@ -585,28 +608,12 @@ class CrawlEngine:
             "pages_meta": pages_meta,
         }
         if cfg.use_bloom:
-            if cfg.seen_filter == "cuckoo":
-                from . import cuckoo
-
-                new_segs = cuckoo.build_segments(
-                    seen_delta, n_segments=cfg.bloom_segments,
-                    buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots,
-                )
-                tables["bloom"] = (
-                    cuckoo.merge_segment_sets(
-                        bloom_segments, new_segs,
-                        buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots)
-                    if bloom_segments is not None else new_segs
-                )
-            else:
-                new_segs = bloom.build_segments(
-                    seen_delta, n_segments=cfg.bloom_segments,
-                    m=cfg.bloom_m, k=cfg.bloom_num_hashes,
-                )
-                tables["bloom"] = (
-                    bloom.merge_segment_sets(bloom_segments, new_segs)
-                    if bloom_segments is not None else new_segs
-                )
+            _probe, build, merge = _seen_filter_fns(cfg)
+            new_segs = build(seen_delta)
+            tables["bloom"] = (
+                merge(bloom_segments, new_segs)
+                if bloom_segments is not None else new_segs
+            )
         manifest = self.state.commit_wave(wave, tables)
         for df in persisted:
             df.unpersist()
@@ -632,9 +639,17 @@ class CrawlEngine:
         bloom_segments = None
         if last is not None:
             start = last + 1
+            # an all-blocked wave commits only frontier/robots_cache, so
+            # any other table can legitimately be absent on resume
             frontier = self.state.read("frontier")
-            seen = self.state.read("seen").select("url")
+            if frontier is None:
+                frontier = spark.createDataFrame([], schemas.FRONTIER)
+            seen = self.state.read("seen")
+            seen = (seen.select("url") if seen is not None
+                    else spark.createDataFrame([], "url string"))
             robots_cache = self.state.read("robots_cache")
+            if robots_cache is None:
+                robots_cache = spark.createDataFrame([], schemas.ROBOTS)
             bloom_segments = self.state.read("bloom")
         else:
             start = 0

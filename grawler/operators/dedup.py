@@ -183,7 +183,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .distinct()
         .persist()
     )
-    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    labels = sym.select("u").distinct().withColumn("label",
+                                                   F.col("u")).persist()
+    changed = 1
     for it in range(max_iter):
         # neighbor labels: edge (u,v) proposes label(v) to u
         prop = (
@@ -197,18 +199,29 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         )
         if it % 4 == 3:  # bound lineage growth across iterations
             new_labels = new_labels.localCheckpoint(eager=False)
+        # persist: both the changed-count and the next round read this;
+        # without it the whole chain since the last checkpoint recomputes
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1).count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("u").alias("id"),
-                         F.col("label").alias("component"))
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(cluster diameter exceeds max_iter) — raise max_iter or use "
+            "star-contraction for chain-shaped duplicate graphs")
+    out = labels.select(F.col("u").alias("id"),
+                        F.col("label").alias("component"))
+    return out
 
 
 # ---------------------------------------------------------------- simhash

@@ -275,9 +275,13 @@ class IcebergSnapshotStore:
     # ------------------------------------------------------- operations
 
     def snapshot_id(self, table: str) -> str | None:
+        """CURRENT snapshot (the main branch ref) — NOT the newest row of
+        `.snapshots`: Iceberg retains rolled-back snapshots there, so
+        ordering by committed_at would return the orphan a recover() just
+        rolled away and poison the next wave's BEGIN rollback target."""
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._q(table)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self._q(table)}.refs "
+            "WHERE name = 'main'"
         ).collect()
         return str(rows[0]["snapshot_id"]) if rows else None
 

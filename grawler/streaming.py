@@ -99,6 +99,8 @@ def sessionize(spark: SparkSession, events_path: str,
 
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         rows = pd.concat(list(pdfs)).sort_values("ts")
         tvals = rows["ts"].astype("int64")          # epoch ns
         gap_ns = int(gap_s * 1e9)
@@ -107,9 +109,13 @@ def sessionize(spark: SparkSession, events_path: str,
             cont = int(tvals.iloc[0]) - last_ns <= gap_ns
         else:
             sid_base, open_start_ns, open_n, cont = 0, 0, 0, False
-        brk = (tvals.diff() > gap_ns)
-        brk.iloc[0] = not cont
-        sidx = brk.cumsum()                         # 0-based iff continuing
+        # exact int64 gaps: Series.diff() computes in float64, whose 256-ns
+        # ulp at current epochs can flip boundary-equal gaps (and disagree
+        # with the exact integer cross-batch check above)
+        tn = tvals.to_numpy()
+        brk = np.concatenate(
+            [[not cont], np.diff(tn) > gap_ns]).astype(np.int64)
+        sidx = pd.Series(np.cumsum(brk), index=rows.index)
         out = rows.groupby(sidx).agg(
             n_events=("event_id", "count"), start_ts=("ts", "min"),
             end_ts=("ts", "max")).reset_index(drop=True)

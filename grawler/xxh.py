@@ -5,9 +5,10 @@ github.com/Cyan4973/xxHash — public spec), plus Spark's column-hash
 conventions on top of it:
 
   - strings hash their UTF-8 bytes,
-  - int/long columns hash their 8-byte two's-complement value via the
-    fixed-width fast path (ints are promoted to long, matching Spark's
-    XxHash64Function),
+  - LongType columns (model: python int / numpy int64) take the 8-byte
+    fixed-width fast path; IntegerType columns (model: numpy int32 ONLY)
+    take the 4-byte path — Spark does NOT promote int columns, and the two
+    paths give different hashes for the same value,
   - multi-argument xxhash64(a, b, ...) chains: the running hash seeds the
     next column's hash (seed starts at 42).
 

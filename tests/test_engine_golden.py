@@ -196,3 +196,8 @@ def test_all_blocked_wave_not_counted(spark, tmp_path):
     f = res.frontier()
     assert f is None or f.count() == 0
     assert not o.frontier
+    # resume after an all-blocked-only commit: the seen/trace/metrics
+    # tables were never written — resume must tolerate their absence
+    e2, s2 = build_engine(spark, web, str(tmp_path), CFG)
+    resumed = e2.run(s2, max_waves=3, resume=True)  # must not crash on the
+    assert resumed.trace() is None                  # absent seen/trace tables

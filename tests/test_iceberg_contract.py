@@ -68,8 +68,10 @@ class FakeSpark:
     def sql(self, s):
         self.stmts.append(s)
         flat = " ".join(s.split())
-        if ".snapshots" in flat:  # snapshot_id() probe
-            t = flat.split("FROM ", 1)[1].split(".snapshots")[0].split(".")[-1]
+        if ".refs" in flat:  # snapshot_id() probe: CURRENT (main) snapshot,
+            # which — unlike .snapshots ordered by committed_at — reflects
+            # rollbacks (rolled-back orphans stay in .snapshots)
+            t = flat.split("FROM ", 1)[1].split(".refs")[0].split(".")[-1]
             if t in self.snap:
                 return FakeResult([{"snapshot_id": self.snap[t]}])
             return FakeResult([])
@@ -121,7 +123,7 @@ def test_commit_wave_merge_not_overwrite_and_ordering():
     st.commit_wave(0, _wave_tables(fs))
 
     frontier_stmts = [s for s in fs.stmts if "grawler.frontier" in s
-                      and ".snapshots" not in s]
+                      and ".refs" not in s]
     assert len(frontier_stmts) == 1
     s = frontier_stmts[0]
     assert s.startswith("MERGE INTO crawl.grawler.frontier")

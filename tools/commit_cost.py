@@ -34,10 +34,8 @@ import pyspark.sql.functions as F
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from grawler.engine import _FRONTIER_NULLS as NULLS  # noqa: E402
 from grawler.store import LocalSnapshotStore  # noqa: E402
-
-NULLS = [("parent_url", "string"), ("host", "string"), ("depth", "int"),
-         ("priority", "int"), ("wave", "int"), ("path", "string")]
 
 
 def frontier_rows(spark, n: int, tag: int):

@@ -73,3 +73,53 @@ def test_generator_deterministic(seed):
     assert a.pages.equals(b.pages)
     assert a.images.equals(b.images)
     assert list(a.seeds["url"]) == list(b.seeds["url"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000), compact_every=st.sampled_from([2, 3, 100]))
+def test_merge_table_resolution_matches_dict_replay(seed, compact_every):
+    """Random add/remove delta sequences: LocalSnapshotStore's merge-table
+    read must equal a python dict replay at every wave, for any compaction
+    cadence (same-wave add beats remove, latest wave wins)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from grawler.session import get_spark
+    from grawler.store import LocalSnapshotStore
+    import tempfile
+
+    spark = get_spark("props", master="local[4]", shuffle_partitions=4)
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(12)]
+    with tempfile.TemporaryDirectory() as tmp:
+        st_ = LocalSnapshotStore(spark, tmp, compact_every=compact_every)
+        model: dict = {}
+        history = []
+        for wave in range(5):
+            adds = rng.sample(keys, rng.randint(0, 4))
+            removes = rng.sample(keys, rng.randint(0, 4))
+            rows = (
+                [(k, wave, "add") for k in adds]
+                + [(k, None, "remove") for k in removes]
+            )
+            rng.shuffle(rows)
+            delta = spark.createDataFrame(
+                rows, "url string, wave int, _op string")
+            st_.commit_wave(wave, {"frontier": delta})
+            # dict replay: removes apply first, same-wave add wins
+            for k in removes:
+                model.pop(k, None)
+            for k in adds:
+                model[k] = wave
+            history.append(dict(model))
+            got = {
+                r["url"]: r["wave"]
+                for r in st_.read("frontier").collect()
+            }
+            assert got == model, (wave, adds, removes)
+        # upto_wave replay across whatever compactions happened
+        for w, want in enumerate(history):
+            got = {r["url"]: r["wave"]
+                   for r in st_.read("frontier", upto_wave=w).collect()}
+            assert got == want, w

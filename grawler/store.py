@@ -128,7 +128,16 @@ class LocalSnapshotStore:
                 df.write.mode("overwrite").parquet(p)
             if timing:
                 print(f"  [t] write {name}: {time.time() - t0:.2f}s")
-            return name, {"path": p, "mode": mode}
+            # per-partition lineage (north_rule): the manifest names every
+            # partition file each wave produced, so any wave's output can be
+            # audited / replayed at file granularity (Iceberg gets this from
+            # its own snapshot manifests)
+            try:
+                files = sorted(fn for fn in os.listdir(p)
+                               if fn.startswith("part-"))
+            except OSError:
+                files = []
+            return name, {"path": p, "mode": mode, "files": files}
 
         # independent tables write concurrently (inputs are persisted or
         # disjoint); Spark's scheduler interleaves the jobs, cutting the

@@ -51,6 +51,10 @@ def test_manifest_is_commit_point(spark, tmp_path):
     s.commit_wave(0, {"seen": df})
     assert s.last_wave() == 0
     assert s.read("seen").count() == 3
+    # per-partition lineage: manifest names each partition file written
+    entry = s.manifests()[0]["tables"]["seen"]
+    assert entry["files"] and all(f.startswith("part-")
+                                  for f in entry["files"])
     s.commit_wave(1, {"seen": df})
     assert s.read("seen").count() == 6          # append mode unions deltas
     assert s.read("seen", upto_wave=0).count() == 3

@@ -381,18 +381,85 @@ def q_text_fingerprint(spark, sf_dir):
 _CRAWL_CACHE: dict = {}
 
 
-def _crawl_result(spark):
-    key = "r1"
-    if key not in _CRAWL_CACHE:
+def _crawl_result(spark, variant: str = "base"):
+    """Deterministic 3-wave crawl; variants exercise alternative engine
+    paths that MUST produce identical state (their entries reuse the same
+    oracle literals): 'cuckoo' = cuckoo seen-prefilter; 'http' = the real
+    batched-HTTP fetcher against a localhost server serving the synthetic
+    web (the deploy fetch path, driver-verified)."""
+    if variant not in _CRAWL_CACHE:
+        import dataclasses
+
         from grawler import synthgen
         from grawler.conf import CrawlConfig
-        from grawler.engine import build_engine
+        from grawler.engine import CrawlEngine, build_engine
+        from grawler.synthgen import spark_tables
 
         web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
-        tmp = tempfile.mkdtemp(prefix="grawler_entry_")
-        eng, seeds = build_engine(spark, web, tmp, CrawlConfig())
-        _CRAWL_CACHE[key] = eng.run(seeds, max_waves=3)
-    return _CRAWL_CACHE[key]
+        tmp = tempfile.mkdtemp(prefix=f"grawler_entry_{variant}_")
+        cfg = CrawlConfig()
+        if variant == "cuckoo":
+            cfg = dataclasses.replace(cfg, seen_filter="cuckoo",
+                                      cuckoo_buckets=1 << 8)
+        if variant == "http":
+            import threading
+            from http.server import (BaseHTTPRequestHandler,
+                                     ThreadingHTTPServer)
+            from urllib.parse import unquote, urlsplit
+
+            from grawler.fetch import HttpFetcher
+
+            routes = {}
+            for p in web.pages.to_dict("records"):
+                parts = urlsplit(p["url"])
+                key = f"/{parts.netloc}{parts.path}" + (
+                    f"?{parts.query}" if parts.query else "")
+                routes[key] = (int(p["status"]), p["content_type"],
+                               p["html"])
+            for r in web.robots.to_dict("records"):
+                routes[f"/{r['host']}/robots.txt"] = (
+                    200, "text/plain", r["robots_txt"])
+
+            class H(BaseHTTPRequestHandler):
+                def do_GET(self):  # noqa: N802
+                    entry_ = routes.get(unquote(self.path))
+                    if entry_ is None:
+                        self.send_response(404)
+                        self.send_header("Content-Type", "text/plain")
+                        self.end_headers()
+                        self.wfile.write(b"not found")
+                        return
+                    status, ctype, body = entry_
+                    self.send_response(status)
+                    self.send_header("Content-Type", ctype)
+                    self.end_headers()
+                    self.wfile.write(body.encode())
+
+                def log_message(self, *a):
+                    pass
+
+            srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            port = srv.server_address[1]
+
+            def rewrite(url: str, _port=port) -> str:
+                parts = urlsplit(url)
+                q = f"?{parts.query}" if parts.query else ""
+                return (f"http://127.0.0.1:{_port}/"
+                        f"{parts.netloc}{parts.path}{q}")
+
+            seeds, pages, robots, images = spark_tables(spark, web)
+            eng = CrawlEngine(
+                spark, pages, robots, images, tmp, cfg,
+                robots_cache_init=robots,
+                fetcher=HttpFetcher(user_agent=cfg.user_agent, timeout_s=5,
+                                    url_rewriter=rewrite))
+            _CRAWL_CACHE[variant] = eng.run(seeds, max_waves=3)
+            srv.shutdown()  # state is committed; DataFrames read parquet
+        else:
+            eng, seeds = build_engine(spark, web, tmp, cfg)
+            _CRAWL_CACHE[variant] = eng.run(seeds, max_waves=3)
+    return _CRAWL_CACHE[variant]
 
 
 def q_crawl_store(spark, sf_dir):
@@ -404,6 +471,25 @@ def q_crawl_store(spark, sf_dir):
 
 def q_crawl_seen(spark, sf_dir):
     return _crawl_result(spark).seen().select("url", "first_wave")
+
+
+def q_crawl_seen_cuckoo(spark, sf_dir):
+    """Same crawl through the CUCKOO seen-prefilter: the filter family must
+    never change results (oracle literal shared with crawl_seen)."""
+    return _crawl_result(spark, "cuckoo").seen().select("url", "first_wave")
+
+
+def q_crawl_seen_http(spark, sf_dir):
+    """Same crawl through the REAL batched-HTTP fetcher against a localhost
+    server — the deploy fetch path, hash-checked by the driver against the
+    same oracle literal as crawl_seen."""
+    return _crawl_result(spark, "http").seen().select("url", "first_wave")
+
+
+def q_crawl_trace_http(spark, sf_dir):
+    """Crawl ordering through the real-HTTP path (oracle literal shared
+    with crawl_trace)."""
+    return _crawl_result(spark, "http").trace()
 
 
 def q_crawl_trace(spark, sf_dir):
@@ -573,7 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "crawl_store": q_crawl_store,
         "crawl_seen": q_crawl_seen,
+        "crawl_seen_cuckoo": q_crawl_seen_cuckoo,
+        "crawl_seen_http": q_crawl_seen_http,
         "crawl_trace": q_crawl_trace,
+        "crawl_trace_http": q_crawl_trace_http,
         "crawl_pages_meta": q_crawl_pages_meta,
         "crawl_frontier": q_crawl_frontier,
         "crawl_host_budget": q_crawl_host_budget,
@@ -621,11 +710,24 @@ def _values_sql(spec: dict) -> str:
     return (f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})")
 
 
+# entries that must equal another entry's expected rows (alternative engine
+# paths: filter family / fetch transport cannot change crawl results)
+_ORACLE_ALIASES = {
+    "crawl_seen_cuckoo": "crawl_seen",
+    "crawl_seen_http": "crawl_seen",
+    "crawl_trace_http": "crawl_trace",
+}
+
+
 def _values_oracles() -> dict[str, str]:
     import json
 
     with open(_EXPECTED_JSON) as f:
-        return {name: _values_sql(spec) for name, spec in json.load(f).items()}
+        out = {name: _values_sql(spec)
+               for name, spec in json.load(f).items()}
+    for alias, src in _ORACLE_ALIASES.items():
+        out[alias] = out[src]
+    return out
 
 
 _WORD = r"\w+"

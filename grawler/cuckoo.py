@@ -204,6 +204,62 @@ def make_probe_udf(segment_map: dict[int, bytes],
     return maybe_seen
 
 
+def cuckoo_anti_join_cogroup(
+    frontier: DataFrame,
+    seen: DataFrame,
+    segments: DataFrame,
+    url_col: str = "url",
+    buckets: int = DEFAULT_BUCKETS,
+    slots: int = DEFAULT_SLOTS,
+    n_segments: int = DEFAULT_SEGMENTS,
+) -> DataFrame:
+    """Scale-path probe: NO driver collect, NO broadcast (mirror of
+    bloom.bloom_anti_join_cogroup). The frontier is shuffled by segment id
+    and cogrouped with the segment table, so each task holds exactly one
+    segment's fingerprint table against its slice of the frontier — valid
+    when the total filter cannot be broadcast."""
+    cols = frontier.columns
+    u = F.col(url_col)
+    tagged = frontier.select(
+        "*",
+        _segment_col(u, n_segments).alias("_seg"),
+        _fp_col(u).alias("_fp"),
+        _i1_col(u, buckets).alias("_i1"),
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in frontier.schema.fields
+    ) + ", `_maybe` boolean"
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out = left.drop(columns=["_seg", "_fp", "_i1"])
+        if len(left) == 0 or len(right) == 0:
+            out["_maybe"] = False  # empty segment: everything new
+            return out
+        if int(right["n_keys"].iloc[0]) < 0:  # saturated: exact join decides
+            out["_maybe"] = True
+            return out
+        t = np.frombuffer(bytes(right["bits"].iloc[0]),
+                          dtype=np.uint16).reshape(buckets, slots)
+        f = left["_fp"].to_numpy(np.int64).astype(np.uint16)
+        i = left["_i1"].to_numpy(np.int64) & (buckets - 1)
+        a = _alt(i, f, buckets).astype(np.int64)
+        out["_maybe"] = ((t[i] == f[:, None]).any(axis=1)
+                         | (t[a] == f[:, None]).any(axis=1))
+        return out
+
+    flagged = (
+        tagged.groupby("_seg")
+        .cogroup(segments.withColumnRenamed("segment", "_seg")
+                 .groupby("_seg"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    definitely_new = flagged.where(~F.col("_maybe")).select(*cols)
+    maybe = flagged.where(F.col("_maybe")).select(*cols)
+    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    return definitely_new.unionByName(checked)
+
+
 def cuckoo_anti_join(
     frontier: DataFrame,
     seen: DataFrame,

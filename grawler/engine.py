@@ -146,9 +146,13 @@ def _seen_filter_fns(cfg: CrawlConfig):
         from . import cuckoo
 
         def probe(frontier, seen, segs):
-            return cuckoo.cuckoo_anti_join(
-                frontier, seen, segs, buckets=cfg.cuckoo_buckets,
-                slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments)
+            total_bytes = cfg.bloom_segments * cfg.cuckoo_buckets * \
+                cfg.cuckoo_slots * 2
+            fn = (cuckoo.cuckoo_anti_join
+                  if total_bytes <= cfg.bloom_broadcast_max_bytes
+                  else cuckoo.cuckoo_anti_join_cogroup)
+            return fn(frontier, seen, segs, buckets=cfg.cuckoo_buckets,
+                      slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments)
 
         def build(delta):
             return cuckoo.build_segments(

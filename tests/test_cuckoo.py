@@ -82,6 +82,42 @@ def test_merge_preserves_membership(spark):
     merged.unpersist()
 
 
+def test_cogroup_probe_equals_broadcast(spark):
+    """The no-broadcast cogroup probe must give identical exact results to
+    the broadcast path, including with saturated segments."""
+    seen = _urls(spark, 0, 2500)
+    frontier = _urls(spark, 1000, 5000)
+    for buckets in (1 << 10, 8):  # healthy and saturated tables
+        segs = cuckoo.build_segments(seen, buckets=buckets).persist()
+        a = cuckoo.cuckoo_anti_join(frontier, seen, segs, buckets=buckets)
+        b = cuckoo.cuckoo_anti_join_cogroup(frontier, seen, segs,
+                                            buckets=buckets)
+        assert sorted(r["url"] for r in a.collect()) == sorted(
+            r["url"] for r in b.collect())
+        segs.unpersist()
+
+
+def test_engine_cuckoo_cogroup_path_equivalent(spark, tmp_path):
+    """Engine run forced onto the cuckoo cogroup probe (broadcast budget 0)
+    equals the broadcast-path run."""
+    import dataclasses
+
+    web = synthgen.generate(seed=3, n_pages=60, shape="mixed")
+    base = CrawlConfig()
+    cfg_cg = dataclasses.replace(base, seen_filter="cuckoo",
+                                 cuckoo_buckets=1 << 8,
+                                 bloom_broadcast_max_bytes=0)
+    cfg_bc = dataclasses.replace(base, seen_filter="cuckoo",
+                                 cuckoo_buckets=1 << 8)
+    e1, s1 = build_engine(spark, web, str(tmp_path / "cg"), cfg_cg)
+    r1 = e1.run(s1, max_waves=3)
+    e2, s2 = build_engine(spark, web, str(tmp_path / "bc"), cfg_bc)
+    r2 = e2.run(s2, max_waves=3)
+    a = sorted(map(tuple, r1.trace().collect()))
+    b = sorted(map(tuple, r2.trace().collect()))
+    assert a == b
+
+
 def test_engine_cuckoo_equivalent_to_bloom(spark, tmp_path):
     """Swapping the prefilter family must never change crawl results."""
     web = synthgen.generate(seed=3, n_pages=60, shape="mixed")

@@ -42,6 +42,9 @@ def main():
                     help="fetch pages and robots.txt via real batched HTTP "
                          "(grawler.fetch.HttpFetcher) instead of the "
                          "fetch-sim join against --pages/--robots")
+    ap.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
+                    default="bloom",
+                    help="URL-seen prefilter family (both exact-preserving)")
     args = ap.parse_args()
 
     from pyspark import SparkConf
@@ -58,7 +61,7 @@ def main():
         from grawler.session import get_spark
 
         spark = get_spark("grawler-crawl")
-    cfg = CrawlConfig()
+    cfg = CrawlConfig(seen_filter=args.seen_filter)
 
     if args.synthetic:
         from grawler import synthgen

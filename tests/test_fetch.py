@@ -102,6 +102,31 @@ def test_http_fetcher_real_server(spark, http_server):
     assert set(_Handler.seen_agents) == {"grawler"}      # reference UA
 
 
+def test_http_fetcher_timeout_is_failed_fetch(spark, http_server):
+    """A server slower than timeout_s -> null status (failed fetch, NOT an
+    exception), matching the reference's 10s-client-timeout error handling
+    (src/utils/utils.go:24,40-42); fast URLs in the same batch still land."""
+    import time as _t
+
+    srv, port = http_server
+    _Handler.routes["/fast"] = (200, "text/plain", "ok")
+
+    class SlowHandler(_Handler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/slow":
+                _t.sleep(3)
+            super().do_GET()
+
+    srv.RequestHandlerClass = SlowHandler
+    base = f"http://127.0.0.1:{port}"
+    f = HttpFetcher(timeout_s=1)
+    rows = {r["url"]: r for r in f.fetch(
+        _urls_df(spark, [f"{base}/fast", f"{base}/slow"])).collect()}
+    assert rows[f"{base}/fast"]["status"] == 200
+    assert rows[f"{base}/slow"]["status"] is None
+    assert rows[f"{base}/slow"]["html"] is None
+
+
 def test_golden_crawl_through_real_http(spark, http_server, tmp_path):
     """End-to-end: the engine with HttpFetcher against a local server
     serving the synthetic web must equal the pure-Python oracle — the

@@ -255,8 +255,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (rows-only check here; the banding math
-    is pytest-verified against numpy in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs. VALUES-oracled: expected rows generated
+    by the pure-Python XXH64 replica + numpy (tools/gen_value_oracles.py,
+    bit-for-bit banding/affine/jaccard replication, no Spark involved)."""
     from grawler.operators.dedup import minhash_lsh_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
@@ -278,6 +279,8 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs. VALUES-oracled via the pure-Python XXH64
+    replica (independent voting/bit-pack/banding in numpy)."""
     from grawler.operators.dedup import simhash_pairs
 
     d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
@@ -317,8 +320,10 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-5 (scale path; rows-only — approximate by
-    design, recall vs brute force asserted in tests/test_similarity.py)."""
+    """Sign-LSH bucketed ANN top-5 (scale path). Deterministic given the
+    seeded hyperplanes, so VALUES-oracled: numpy signature replication +
+    sequential-fold cosine (tools/gen_value_oracles.py); recall vs brute
+    force additionally asserted in tests/test_similarity.py."""
     from grawler.operators.similarity import ann_lsh_topk
 
     e = _read(spark, sf_dir, "embeddings")
@@ -330,8 +335,10 @@ def q_sim_ann_lsh(spark, sf_dir):
 
 
 def q_sim_ann_ivf(spark, sf_dir):
-    """IVF ANN top-5 (KMeans coarse quantizer + probe-3 rerank; rows-only,
-    recall + exact-limit asserted in tests/test_similarity.py)."""
+    """IVF ANN top-5 (deterministic seeded-Lloyd's coarse quantizer +
+    probe-3 rerank). VALUES-oracled: the generator reruns the same Lloyd's
+    on the same id-ordered sample and replicates assignment + rerank in
+    numpy; recall + exact-limit asserted in tests/test_similarity.py."""
     from grawler.operators.similarity import ann_ivf_topk
 
     e = _read(spark, sf_dir, "embeddings")
@@ -367,7 +374,8 @@ def q_text_langid(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Rolling-hash fingerprint (rows-only; numpy-oracled in pytest)."""
+    """Rolling-hash fingerprint. VALUES-oracled (pure-numpy polynomial
+    hash over the replicated token stream); also numpy-oracled in pytest."""
     from grawler.operators.textstats import fingerprint
 
     return fingerprint(_read(spark, sf_dir, "documents"))

@@ -185,10 +185,16 @@ def bloom_anti_join_cogroup(
         if len(left) == 0 or len(right) == 0:
             out["_maybe"] = False  # empty segment: everything definitely new
             return out
-        bits = np.unpackbits(
-            np.frombuffer(bytes(right["bits"].iloc[0]), dtype=np.uint8))
         pos = np.stack([np.asarray(p, dtype=np.int64) for p in left["_pos"]])
-        out["_maybe"] = (bits[pos] == 1).all(axis=1)
+        # OR-probe across ALL segment rows: a caller passing unmerged
+        # per-wave deltas (multiple rows per segment) gets the union
+        # semantics — a key present in ANY delta is maybe-seen. Reading only
+        # row 0 would silently declare seen URLs definitely-new.
+        maybe = np.zeros(len(left), dtype=bool)
+        for bz in right["bits"]:
+            bits = np.unpackbits(np.frombuffer(bytes(bz), dtype=np.uint8))
+            maybe |= (bits[pos] == 1).all(axis=1)
+        out["_maybe"] = maybe
         return out
 
     flagged = (

@@ -236,16 +236,22 @@ def cuckoo_anti_join_cogroup(
         if len(left) == 0 or len(right) == 0:
             out["_maybe"] = False  # empty segment: everything new
             return out
-        if int(right["n_keys"].iloc[0]) < 0:  # saturated: exact join decides
-            out["_maybe"] = True
-            return out
-        t = np.frombuffer(bytes(right["bits"].iloc[0]),
-                          dtype=np.uint16).reshape(buckets, slots)
         f = left["_fp"].to_numpy(np.int64).astype(np.uint16)
         i = left["_i1"].to_numpy(np.int64) & (buckets - 1)
         a = _alt(i, f, buckets).astype(np.int64)
-        out["_maybe"] = ((t[i] == f[:, None]).any(axis=1)
-                         | (t[a] == f[:, None]).any(axis=1))
+        # OR-probe across ALL segment rows (unmerged per-wave deltas are
+        # a legal input: a key present in ANY delta must stay maybe-seen;
+        # probing only row 0 would corrupt the exactness guarantee)
+        maybe = np.zeros(len(left), dtype=bool)
+        for bz, nk in zip(right["bits"], right["n_keys"]):
+            if int(nk) < 0:  # saturated table: exact join decides
+                maybe[:] = True
+                break
+            t = np.frombuffer(bytes(bz),
+                              dtype=np.uint16).reshape(buckets, slots)
+            maybe |= ((t[i] == f[:, None]).any(axis=1)
+                      | (t[a] == f[:, None]).any(axis=1))
+        out["_maybe"] = maybe
         return out
 
     flagged = (

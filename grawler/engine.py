@@ -183,6 +183,21 @@ def _seen_filter_fns(cfg: CrawlConfig):
     return probe, build, merge
 
 
+def _filter_meta(cfg: CrawlConfig) -> dict:
+    """The seen-filter family + parameters, committed with every wave so a
+    resume under a different --seen-filter (or resized filter) is DETECTED:
+    reinterpreting persisted 'bloom'-table segment bytes with the other
+    family's decoder can return false 'definitely new' for seen URLs,
+    silently bypassing the exact anti-join (ADVICE r2)."""
+    if not cfg.use_bloom:
+        return {"family": "none"}
+    if cfg.seen_filter == "cuckoo":
+        return {"family": "cuckoo", "segments": cfg.bloom_segments,
+                "buckets": cfg.cuckoo_buckets, "slots": cfg.cuckoo_slots}
+    return {"family": "bloom", "segments": cfg.bloom_segments,
+            "m": cfg.bloom_m, "k": cfg.bloom_num_hashes}
+
+
 @dataclass
 class CrawlResult:
     waves: int
@@ -308,7 +323,8 @@ class CrawlEngine:
         stale = joined.where(
             F.col("robots_txt").isNull()
             | (F.col("fetched_ts") < F.lit(stale_before))
-        ).select("host")
+        ).select("host").persist()  # one row per stale host; reused by the
+        persisted.append(stale)     # robots_delta semi-join at commit time
         refreshed = self.fetcher.fetch_robots(stale, ts)
         new_cache = (
             robots_cache.join(refreshed.select("host"), "host", "left_anti")
@@ -373,8 +389,15 @@ class CrawlEngine:
             )
             return add_rows.unionByName(removes)
 
-        robots_delta = (new_cache if wave == 0 else refreshed).withColumn(
-            "_op", F.lit("add"))
+        # delta from the PERSISTED cache (not the raw `refreshed` plan):
+        # committing an unpersisted `refreshed` would re-execute
+        # fetcher.fetch_robots — with HttpFetcher that double-fetches every
+        # stale host's robots.txt per wave and (network being live) could
+        # persist different rules than the ones that gated this wave
+        robots_delta = (
+            new_cache if wave == 0
+            else new_cache.join(F.broadcast(stale), "host", "left_semi")
+        ).withColumn("_op", F.lit("add"))
 
         if n_scheduled == 0:
             # every candidate was robots-blocked (or already seen): the
@@ -385,7 +408,7 @@ class CrawlEngine:
             manifest = self.state.commit_wave(wave, {
                 "frontier": _frontier_delta(adds),
                 "robots_cache": robots_delta,
-            })
+            }, meta={"seen_filter": _filter_meta(cfg)})
             for df in persisted:
                 df.unpersist()
             manifest["n_scheduled"] = 0
@@ -618,7 +641,8 @@ class CrawlEngine:
                 merge(bloom_segments, new_segs)
                 if bloom_segments is not None else new_segs
             )
-        manifest = self.state.commit_wave(wave, tables)
+        manifest = self.state.commit_wave(
+            wave, tables, meta={"seen_filter": _filter_meta(cfg)})
         for df in persisted:
             df.unpersist()
         manifest["n_scheduled"] = n_scheduled
@@ -655,6 +679,22 @@ class CrawlEngine:
             if robots_cache is None:
                 robots_cache = spark.createDataFrame([], schemas.ROBOTS)
             bloom_segments = self.state.read("bloom")
+            # seen-filter compatibility gate: persisted segment BYTES are
+            # family/parameter-specific; decoding them under a different
+            # cfg would return false 'definitely new' for seen URLs. On
+            # mismatch, rebuild segments from the exact seen set (always
+            # safe: seen is the source of truth, segments are a cache).
+            recorded = (self.state.read_meta() or {}).get("seen_filter")
+            if (bloom_segments is not None and recorded is not None
+                    and recorded != _filter_meta(cfg)):
+                import warnings
+
+                warnings.warn(
+                    f"seen-filter config changed across resume "
+                    f"(committed {recorded}, now {_filter_meta(cfg)}); "
+                    "rebuilding segments from the seen table")
+                _p, build, _m = _seen_filter_fns(cfg)
+                bloom_segments = build(seen)
         else:
             start = 0
             frontier = self._seed_frontier(seeds)

@@ -22,7 +22,12 @@ Both produce the same columns appended to the scheduled rows:
 
 Robots fetching goes through the same seam (`fetch_robots`): a real
 deployment GETs http://<host>/robots.txt on cache miss/staleness
-(reference src/crawler.go:222-254); non-200 or failed -> empty rules.
+(reference src/crawler.go:222-254). A failed/non-200 robots fetch maps to
+empty rules, i.e. fail-OPEN — this INTENTIONALLY diverges from the
+reference, whose agentAllowed returns an error on fetch failure
+(effectively fail-closed); empty-rules-on-miss is the semantics the
+SimFetcher and the pure-Python oracle implement, so both fetchers gate
+identically and crawl goldens stay transport-independent.
 """
 
 from __future__ import annotations

@@ -189,6 +189,45 @@ def ann_lsh_topk(
     )
 
 
+def _pairwise_d2(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared L2 distances, |M|^2 - 2 M.C + |C|^2 form — ONE canonical
+    formula shared by training, assignment, and the pure-numpy oracle so
+    all three agree bit-for-bit on ties."""
+    c_sq = (C * C).sum(axis=1)
+    return (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+
+
+def nearest_lists(M: np.ndarray, C: np.ndarray, n: int) -> np.ndarray:
+    """Ids of the n nearest centroids per row (ties -> lower list id via
+    stable argsort). Shared by the Spark UDF and the VALUES-oracle
+    generator."""
+    d2 = _pairwise_d2(M, C)
+    return np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+
+
+def lloyd_centroids(X: np.ndarray, k: int, seed: int = 11,
+                    iters: int = 20) -> np.ndarray:
+    """Deterministic seeded Lloyd's k-means in float64 (coarse-quantizer
+    training). Replaces pyspark.ml KMeans, whose kmeans|| init + partial
+    aggregation order made centroids partitioning/platform-dependent — an
+    oracle-hostile property for a deterministic entry. Callers pass X in a
+    deterministic row order (sorted by id); given that, centroids are
+    bit-stable across platforms, so the pure-numpy oracle reproduces them
+    by calling this same function. Empty clusters keep their previous
+    centroid (k <= len(X) enforced)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    idx = rng.choice(len(X), size=k, replace=False)
+    C = X[idx].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = np.argmin(_pairwise_d2(X, C), axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -198,39 +237,38 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    train_cap: int = 16384,
 ) -> DataFrame:
-    """IVF-style ANN: KMeans (pyspark.ml) coarse quantizer partitions the
-    corpus into n_lists inverted lists; each query probes its n_probe
-    nearest centroids and reranks by exact cosine within those lists only.
+    """IVF-style ANN: a coarse quantizer (deterministic Lloyd's k-means on
+    a bounded, id-ordered training sample — the standard IVF practice of
+    training on a subsample, bounded driver traffic at any corpus size)
+    partitions the corpus into n_lists inverted lists; each query probes
+    its n_probe nearest centroids and reranks by exact cosine within those
+    lists only.
 
     The scan shrinks from |Q| x |N| to |Q| x (n_probe/n_lists) x |N|;
     recall rises with n_probe (n_probe == n_lists -> exact).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
-    train = base.select(array_to_vector("nv").alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centers = np.array([[float(x) for x in c] for c in model.clusterCenters()])
+    # deterministic training sample: first train_cap rows by id (orderBy +
+    # limit, not .sample() — Bernoulli sampling is partitioning-dependent)
+    train_rows = base.orderBy("neighbor_id").limit(train_cap).collect()
+    X = np.array([list(r["nv"]) for r in train_rows], dtype=np.float64)
+    centers = lloyd_centroids(X, n_lists, seed)
 
     def nearest_lists_udf(n: int):
-        """Arrow-batched: ids of the n nearest centroids by L2 distance
-        (ties -> lower list_id, via stable argsort)."""
+        """Arrow-batched nearest-centroid ids (shared nearest_lists core)."""
         C = centers
-        c_sq = (C * C).sum(axis=1)
 
         @pandas_udf(ArrayType(IntegerType()))
         def nearest(v: pd.Series) -> pd.Series:
             if len(v) == 0:
                 return pd.Series([], dtype=object)
             M = np.stack(v.to_numpy())
-            d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
-            return pd.Series(list(idx))
+            return pd.Series(list(nearest_lists(M, C, n)))
 
         return nearest
 

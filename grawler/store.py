@@ -90,8 +90,11 @@ class LocalSnapshotStore:
                 start = i
         return entries[start:]
 
-    def commit_wave(self, wave: int, tables: dict[str, DataFrame]) -> dict:
-        """Write all table data, then the lineage manifest (commit point)."""
+    def commit_wave(self, wave: int, tables: dict[str, DataFrame],
+                    meta: dict | None = None) -> dict:
+        """Write all table data, then the lineage manifest (commit point).
+        `meta` (e.g. the seen-filter family + parameters) rides in the
+        manifest so resume can validate configuration compatibility."""
         timing = os.environ.get("GRAWLER_TIMING")
         entries = {}
 
@@ -159,6 +162,8 @@ class LocalSnapshotStore:
             "tables": entries,
             "committed_unix": time.time(),
         }
+        if meta:
+            manifest["meta"] = meta
         tmp = os.path.join(self.path, "_lineage", f".wave-{wave:05d}.tmp")
         final = os.path.join(self.path, "_lineage", f"wave-{wave:05d}.json")
         with open(tmp, "w") as f:
@@ -180,6 +185,13 @@ class LocalSnapshotStore:
     def last_wave(self) -> int | None:
         ms = self.manifests()
         return ms[-1]["wave"] if ms else None
+
+    def read_meta(self) -> dict:
+        """Latest committed meta dict ({} if none recorded)."""
+        for m in reversed(self.manifests()):
+            if m.get("meta"):
+                return m["meta"]
+        return {}
 
     def read(self, table: str, upto_wave: int | None = None) -> DataFrame | None:
         """append: union of committed deltas; merge: latest-op-per-key over
@@ -252,13 +264,33 @@ class IcebergSnapshotStore:
 
     # ------------------------------------------------ pure SQL builders
 
+    def merge_source_sql(self, table: str) -> str:
+        """Pre-resolved MERGE source: ONE row per key. The engine can emit
+        both a 'remove' and an 'add' for the same URL in one wave (a row
+        leaves the frontier robots-denied/failed and is rediscovered as a
+        child); LocalSnapshotStore._resolve implements add-beats-remove for
+        this, but raw MERGE INTO would see two source rows matching one
+        target row and raise a cardinality violation — and since
+        recover()+resume deterministically replays the wave, the deploy
+        crawl would wedge permanently. Resolution: keep every 'add' row,
+        keep a 'remove' row only if its key has no 'add' in the delta."""
+        key = MERGE_TABLES[table]
+        return (
+            f"(SELECT * FROM _delta d WHERE d.{OP_COL} = 'add' OR NOT "
+            f"EXISTS (SELECT 1 FROM _delta a WHERE a.{key} = d.{key} "
+            f"AND a.{OP_COL} = 'add'))"
+        )
+
     def merge_sql(self, table: str, cols: list[str]) -> str:
         """Keyed delta application: remove -> DELETE, add -> upsert.
-        cols = data columns (no _op)."""
+        cols = data columns (no _op). Source is pre-resolved to one row per
+        key (merge_source_sql) so same-wave remove+add cannot violate
+        MERGE cardinality."""
         key = MERGE_TABLES[table]
         sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
         return (
-            f"MERGE INTO {self._q(table)} t USING _delta s "
+            f"MERGE INTO {self._q(table)} t "
+            f"USING {self.merge_source_sql(table)} s "
             f"ON t.{key} = s.{key} "
             "WHEN MATCHED AND s._op = 'remove' THEN DELETE "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
@@ -301,7 +333,8 @@ class IcebergSnapshotStore:
             f"INSERT INTO {self._q('lineage')} "
             "SELECT *, current_timestamp() AS committed_ts FROM _delta")
 
-    def commit_wave(self, wave: int, tables: dict[str, DataFrame]) -> dict:
+    def commit_wave(self, wave: int, tables: dict[str, DataFrame],
+                    meta: dict | None = None) -> dict:
         # 1. BEGIN: record rollback targets before any write
         self._append_lineage([
             (wave, n, self.snapshot_id(n) or "none", "begin")
@@ -323,10 +356,17 @@ class IcebergSnapshotStore:
                 mode = "append"
             entries[name] = {"snapshot_id": self.snapshot_id(name),
                              "mode": mode}
-        # 3. COMMIT: one atomic lineage append, marker row last
+        # 3. COMMIT: one atomic lineage append, marker row last. Meta (the
+        # seen-filter family/params) rides as a kind='meta' row in the same
+        # atomic append: snapshot_id carries the JSON payload.
+        meta_rows = (
+            [(wave, "_meta", json.dumps(meta, sort_keys=True), "meta")]
+            if meta else []
+        )
         self._append_lineage(
             [(wave, n, str(e["snapshot_id"]), "table")
              for n, e in entries.items()]
+            + meta_rows
             + [(wave, "_wave", "", "commit")]
         )
         return {"wave": wave, "tables": entries}
@@ -337,6 +377,14 @@ class IcebergSnapshotStore:
             "WHERE kind = 'commit'"
         ).collect()
         return rows[0]["w"] if rows and rows[0]["w"] is not None else None
+
+    def read_meta(self) -> dict:
+        """Latest committed meta payload ({} if none recorded)."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._q('lineage')} "
+            "WHERE kind = 'meta' ORDER BY wave DESC LIMIT 1"
+        ).collect()
+        return json.loads(rows[0]["snapshot_id"]) if rows else {}
 
     def recover(self) -> list[str]:
         """Roll back orphan writes from a begun-but-uncommitted wave; call

@@ -63,3 +63,20 @@ def test_cogroup_probe_equals_broadcast(spark):
     want = sorted(r["url"] for r in
                   frontier.join(seen, "url", "left_anti").collect())
     assert a == b == want
+
+
+def test_cogroup_probe_unmerged_deltas(spark):
+    """A caller passing UNMERGED per-wave segment deltas (multiple rows per
+    segment) must still get exact results: the probe ORs across all rows,
+    so a key present in ANY delta stays maybe-seen (ADVICE r2 — reading
+    only row 0 silently declared seen URLs definitely-new)."""
+    seen_a, seen_b = _urls(spark, "a", 300), _urls(spark, "b", 300)
+    both = seen_a.union(seen_b)
+    unmerged = bloom.build_segments(seen_a, m=1 << 14).unionByName(
+        bloom.build_segments(seen_b, m=1 << 14))
+    frontier = _urls(spark, "a", 400).union(_urls(spark, "b", 400))
+    got = sorted(r["url"] for r in bloom.bloom_anti_join_cogroup(
+        frontier, both, unmerged, m=1 << 14).collect())
+    want = sorted(r["url"] for r in
+                  frontier.join(both, "url", "left_anti").collect())
+    assert got == want and len(got) == 200

@@ -137,3 +137,19 @@ def test_engine_cuckoo_equivalent_to_bloom(spark, tmp_path):
     sa = sorted(r["url"] for r in r1.seen().collect())
     sb = sorted(r["url"] for r in r2.seen().collect())
     assert sa == sb
+
+
+def test_cogroup_probe_unmerged_deltas(spark):
+    """Unmerged per-wave segment deltas (multiple rows per segment) must
+    OR-probe: a key inserted into ANY delta stays maybe-seen, preserving
+    exactness (ADVICE r2 — the old probe read only row 0)."""
+    seen_a, seen_b = _urls(spark, 0, 800), _urls(spark, 800, 1600)
+    both = seen_a.union(seen_b)
+    unmerged = cuckoo.build_segments(seen_a, buckets=1 << 10).unionByName(
+        cuckoo.build_segments(seen_b, buckets=1 << 10))
+    frontier = _urls(spark, 0, 2400)  # 1600 overlap + 800 new
+    got = sorted(r["url"] for r in cuckoo.cuckoo_anti_join_cogroup(
+        frontier, both, unmerged, buckets=1 << 10).collect())
+    want = sorted(r["url"] for r in
+                  frontier.join(both, "url", "left_anti").collect())
+    assert got == want and len(got) == 800

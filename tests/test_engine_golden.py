@@ -201,3 +201,34 @@ def test_all_blocked_wave_not_counted(spark, tmp_path):
     e2, s2 = build_engine(spark, web, str(tmp_path), CFG)
     resumed = e2.run(s2, max_waves=3, resume=True)  # must not crash on the
     assert resumed.trace() is None                  # absent seen/trace tables
+
+
+def test_resume_with_different_seen_filter_rebuilds(spark, tmp_path):
+    """Resuming a bloom-filtered warehouse with --seen-filter cuckoo must
+    NOT reinterpret the persisted segment bytes with the other family's
+    decoder (false 'definitely new' -> duplicate fetches); the recorded
+    filter meta triggers a rebuild from the exact seen set, and the crawl
+    completes identically to an uninterrupted run (ADVICE r2)."""
+    import dataclasses
+    import warnings as _warnings
+
+    web = synthgen.generate(seed=5, n_pages=80, shape="diamond")
+    full_dir, part_dir = tmp_path / "full", tmp_path / "part"
+    e1, s1 = build_engine(spark, web, str(full_dir), CFG)
+    full = e1.run(s1, max_waves=4)
+
+    e2, s2 = build_engine(spark, web, str(part_dir), CFG)  # bloom family
+    e2.run(s2, max_waves=2)
+    cfg_cuckoo = dataclasses.replace(CFG, seen_filter="cuckoo",
+                                     cuckoo_buckets=1 << 10)
+    e3, s3 = build_engine(spark, web, str(part_dir), cfg_cuckoo)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        resumed = e3.run(s3, max_waves=4, resume=True)
+    assert any("seen-filter config changed" in str(x.message) for x in w)
+    a = sorted((r["wave"], r["seq"], r["url"]) for r in full.trace().collect())
+    b = sorted((r["wave"], r["seq"], r["url"])
+               for r in resumed.trace().collect())
+    assert a == b
+    seen_urls = [r["url"] for r in resumed.seen().collect()]
+    assert len(seen_urls) == len(set(seen_urls))  # no duplicate fetches

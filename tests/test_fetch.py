@@ -52,9 +52,11 @@ class _Handler(BaseHTTPRequestHandler):
     # class attrs injected by the fixture
     routes: dict = {}
     seen_agents: list = []
+    requests: list = []
 
     def do_GET(self):  # noqa: N802
         type(self).seen_agents.append(self.headers.get("User-Agent"))
+        type(self).requests.append(unquote(self.path))
         entry = self.routes.get(unquote(self.path))
         if entry is None:
             self.send_response(404)
@@ -77,6 +79,7 @@ def http_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     _Handler.routes = {}
     _Handler.seen_agents = []
+    _Handler.requests = []
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv, srv.server_address[1]
@@ -166,3 +169,13 @@ def test_golden_crawl_through_real_http(spark, http_server, tmp_path):
              for r in res.store().collect()}
     assert store == {i: (s["caption"], s["phash"])
                      for i, s in o.store.items()}
+    # robots single-fetch invariant (ADVICE r2): the committed robots_delta
+    # must come from the PERSISTED cache, not re-execute fetch_robots — a
+    # re-execution would GET each stale host's robots.txt twice per wave
+    # (and could persist different rules than the ones that gated the wave)
+    from collections import Counter
+
+    robots_gets = Counter(p for p in _Handler.requests
+                          if p.endswith("/robots.txt"))
+    doubled = {p: n for p, n in robots_gets.items() if n > 1}
+    assert not doubled, f"robots.txt fetched more than once: {doubled}"

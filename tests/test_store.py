@@ -67,9 +67,13 @@ def test_iceberg_merge_sql():
     st = IcebergSnapshotStore(FakeSpark(), catalog="crawl",
                               namespace="grawler")
     sql = st.merge_sql("frontier", ["url", "host", "depth"])
-    assert sql.startswith(
-        "MERGE INTO crawl.grawler.frontier t USING _delta s "
-        "ON t.url = s.url ")
+    assert sql.startswith("MERGE INTO crawl.grawler.frontier t USING (")
+    # source pre-resolution: one row per key, add-beats-remove — a raw
+    # _delta source with same-wave remove+add would make MERGE INTO raise
+    # a cardinality violation and wedge the resumable crawl
+    assert ("WHERE d._op = 'add' OR NOT EXISTS (SELECT 1 FROM _delta a "
+            "WHERE a.url = d.url AND a._op = 'add')" in sql)
+    assert " ON t.url = s.url " in sql
     assert "WHEN MATCHED AND s._op = 'remove' THEN DELETE" in sql
     assert "WHEN MATCHED THEN UPDATE SET t.url = s.url, t.host = s.host" in sql
     assert ("WHEN NOT MATCHED AND s._op = 'add' THEN "
@@ -77,6 +81,37 @@ def test_iceberg_merge_sql():
             in sql)
     assert "INSERT OVERWRITE" not in sql
     assert "ON t.host = s.host" in st.merge_sql("robots_cache", ["host"])
+
+
+def test_iceberg_merge_source_resolves_same_wave_add_remove(spark):
+    """Execute the MERGE source subquery on real Spark SQL: the engine's
+    'denied-then-rediscovered' delta (remove+add of one key in one wave)
+    must resolve to ONE row per key with the add winning."""
+    class FakeSpark:
+        pass
+
+    st = IcebergSnapshotStore(FakeSpark(), catalog="crawl",
+                              namespace="grawler")
+    _delta(spark, ["b", "e"], ["b", "d"]).createOrReplaceTempView("_delta")
+    src = st.merge_source_sql("frontier").rstrip()
+    rows = spark.sql(f"SELECT url, _op FROM {src} s").collect()
+    got = {(r["url"], r["_op"]) for r in rows}
+    assert got == {("b", "add"), ("e", "add"), ("d", "remove")}
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))  # single row per key
+    spark.catalog.dropTempView("_delta")
+
+
+def test_store_meta_roundtrip(spark, tmp_path):
+    """Filter family/params ride the manifest; latest committed meta wins."""
+    s = LocalSnapshotStore(spark, str(tmp_path))
+    df = spark.range(3).selectExpr("id as url")
+    assert s.read_meta() == {}
+    s.commit_wave(0, {"seen": df},
+                  meta={"seen_filter": {"family": "bloom", "m": 8}})
+    s.commit_wave(1, {"seen": df},
+                  meta={"seen_filter": {"family": "bloom", "m": 8}})
+    assert s.read_meta() == {"seen_filter": {"family": "bloom", "m": 8}}
 
 
 def _delta(spark, adds, removes, extra=0):

@@ -42,6 +42,213 @@ def spark_round(x: float, s: int = 6) -> float:
                                          rounding=ROUND_HALF_UP))
 
 
+# ---------------------------------------------------------------------------
+# testdata-derived oracles (sf0.01): the 5 hash-function-bearing entries the
+# DuckDB SQL surface cannot express (xxhash64 / seeded hyperplanes / Lloyd's).
+# All are deterministic functions of the FIXED driver testdata (seed 42,
+# TESTDATA.md) + fixed operator seeds, so expected rows are generated here by
+# the pure-Python XXH64 replica (grawler.xxh, bit-for-bit vs Spark, see
+# tests/test_xxh.py) + numpy, with zero Spark involved. NOTE: these literals
+# are valid for /root/testdata/sf0.01 (the driver's correctness tier).
+# ---------------------------------------------------------------------------
+
+SF_DIR = os.environ.get("GRAWLER_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left fold, matching Spark's aggregate(zip_with(a,b,*))."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _seq_norm(a) -> float:
+    import math
+
+    s = 0.0
+    for x in a:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _rank_rows(cand_ids, qid, cos, k):
+    """(neighbor, rounded cosine, rank) by (cosine DESC, neighbor ASC)."""
+    ranked = sorted(cand_ids, key=lambda nid: (-cos[nid], nid))[:k]
+    return [[qid, nid, spark_round(cos[nid]), r + 1]
+            for r, nid in enumerate(ranked)]
+
+
+def testdata_oracles() -> dict:
+    import re as _re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from grawler.operators import dedup
+    from grawler.operators.similarity import (_hyperplanes, lloyd_centroids,
+                                              nearest_lists)
+    from grawler.operators.textstats import fingerprint64_one
+    from grawler.xxh import spark_xxhash64
+
+    out: dict = {}
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+    # Java regex \w == [A-Za-z0-9_] (no UNICODE_CHARACTER_CLASS) -> re.ASCII
+    word_re = _re.compile(r"\w+", _re.ASCII)
+    toks = {int(r.doc_id): word_re.findall(r.text.lower())
+            for r in docs.itertuples()}
+
+    # ---- dedup_minhash_lsh (doc_id < 2000 keeps all sf0.01 docs) ----------
+    P = dedup.MERSENNE_P
+    num_hashes, bands, rows_per_band, seed, thr = 64, 16, 4, 7, 0.5
+    a, b = dedup._affine_params(num_hashes, seed)
+    sets_ = {i: {" ".join(t[j:j + 3]) for j in range(len(t) - 2)}
+             for i, t in toks.items() if len(t) >= 3}
+    hcache: dict = {}
+    sigs = {}
+    for i, sh in sets_.items():
+        hs = np.array([hcache.setdefault(s, spark_xxhash64(s) % P)
+                       for s in sh], dtype=np.int64)
+        sigs[i] = ((hs[:, None] * a[None, :] + b[None, :]) % P).min(axis=0)
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, spark_xxhash64(
+                np.int32(bi), *sig[bi * rows_per_band:(bi + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(i)
+    cand = {tuple(sorted((x, y))) for ids in buckets.values()
+            for x in ids for y in ids if x != y}
+    mh_rows = []
+    for x, y in sorted(cand):
+        j = len(sets_[x] & sets_[y]) / len(sets_[x] | sets_[y])
+        if j >= thr:
+            mh_rows.append([x, y, spark_round(j)])
+    out["dedup_minhash_lsh"] = {
+        "columns": ["id_a", "id_b", "jaccard"],
+        "types": ["BIGINT", "BIGINT", "DOUBLE"],
+        "rows": mh_rows,
+    }
+
+    # ---- dedup_simhash (4 bands x 16 bits, hamming <= 3) ------------------
+    tok_hash: dict = {}
+    sh_sig = {}
+    for i, t in toks.items():
+        if not t:
+            sh_sig[i] = 0
+            continue
+        hs = np.array([tok_hash.setdefault(tk, spark_xxhash64(tk))
+                       for tk in t], dtype=np.int64).view(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        fp = 0
+        for bit in np.nonzero(v > 0)[0]:
+            fp |= 1 << int(bit)
+        sh_sig[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+    sim_buckets: dict = {}
+    for i, sh in sh_sig.items():
+        u = sh & ((1 << 64) - 1)
+        for bi in range(4):
+            sim_buckets.setdefault(
+                (bi, (u >> (16 * bi)) & 0xFFFF), []).append(i)
+    sim_rows = set()
+    for ids in sim_buckets.values():
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    ham = bin((sh_sig[x] ^ sh_sig[y])
+                              & ((1 << 64) - 1)).count("1")
+                    if ham <= 3:
+                        sim_rows.add((x, y, ham))
+    out["dedup_simhash"] = {
+        "columns": ["id_a", "id_b", "hamming"],
+        "types": ["BIGINT", "BIGINT", "INTEGER"],
+        "rows": sorted(list(r) for r in sim_rows),
+    }
+
+    # ---- text_fingerprint --------------------------------------------------
+    out["text_fingerprint"] = {
+        "columns": ["doc_id", "fp64"],
+        "types": ["BIGINT", "BIGINT"],
+        "rows": [[i, fingerprint64_one(
+            (" ".join(t) + " ").encode() if t else b"")]
+            for i, t in sorted(toks.items())],
+    }
+
+    # ---- sim_ann_lsh / sim_ann_ivf -----------------------------------------
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+    ids = [int(v) for v in emb.vec_id]
+    # float32 -> float64 cast is exact; row order mirrors the parquet scan so
+    # Arrow batch shapes match the Spark plan (one file = one batch here)
+    M = np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                  for v in emb.embedding])
+    qmask = [i for i, vid in enumerate(ids) if vid < 8]
+    MQ = M[qmask]
+    qids = [ids[i] for i in qmask]
+
+    # sign-LSH: one matmul per Spark input batch (corpus batch, query batch)
+    dim, bits, tables, k = 64, 6, 8, 5
+    planes = _hyperplanes(dim, bits, tables, 11)
+    PM = planes.reshape(tables * bits, dim)
+    weights = (np.int64(1) << np.arange(bits - 1, -1, -1, dtype=np.int64))
+
+    def _sigs(mat):
+        B = (mat @ PM.T) > 0
+        return B.reshape(len(mat), tables, bits).astype(np.int64) @ weights
+
+    nsig, qsig = _sigs(M), _sigs(MQ)
+    table_buckets: dict = {}
+    for row, vid in enumerate(ids):
+        for t in range(tables):
+            table_buckets.setdefault((t, int(nsig[row][t])), []).append(vid)
+    vec_by_id = {vid: M[row] for row, vid in enumerate(ids)}
+    lsh_rows = []
+    for qrow, qid in enumerate(qids):
+        cand_ids = set()
+        for t in range(tables):
+            cand_ids.update(table_buckets.get((t, int(qsig[qrow][t])), []))
+        cand_ids.discard(qid)
+        qv = vec_by_id[qid]
+        qn = _seq_norm(qv)
+        cos = {nid: _seq_dot(qv, vec_by_id[nid])
+               / (qn * _seq_norm(vec_by_id[nid])) for nid in cand_ids}
+        lsh_rows.extend(_rank_rows(cand_ids, qid, cos, k))
+    out["sim_ann_lsh"] = {
+        "columns": ["query_id", "neighbor_id", "cosine", "rank"],
+        "types": ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"],
+        "rows": sorted(lsh_rows),
+    }
+
+    # IVF: deterministic Lloyd's on the id-ordered sample (the operator's
+    # own training path), assignment via the shared nearest_lists core
+    n_lists, n_probe = 16, 3
+    order = np.argsort(np.array(ids, dtype=np.int64), kind="stable")
+    X = M[order]  # orderBy(vec_id).limit(train_cap) at sf0.01 = all rows
+    centers = lloyd_centroids(X, n_lists, 11)
+    n_list_id = nearest_lists(M, centers, 1)[:, 0]       # corpus batch
+    q_lists = nearest_lists(MQ, centers, n_probe)        # query batch
+    members: dict = {}
+    for row, vid in enumerate(ids):
+        members.setdefault(int(n_list_id[row]), []).append(vid)
+    ivf_rows = []
+    for qrow, qid in enumerate(qids):
+        cand_ids = set()
+        for lid in q_lists[qrow]:
+            cand_ids.update(members.get(int(lid), []))
+        cand_ids.discard(qid)
+        qv = vec_by_id[qid]
+        qn = _seq_norm(qv)
+        cos = {nid: _seq_dot(qv, vec_by_id[nid])
+               / (qn * _seq_norm(vec_by_id[nid])) for nid in cand_ids}
+        ivf_rows.extend(_rank_rows(cand_ids, qid, cos, k))
+    out["sim_ann_ivf"] = {
+        "columns": ["query_id", "neighbor_id", "cosine", "rank"],
+        "types": ["BIGINT", "BIGINT", "DOUBLE", "BIGINT"],
+        "rows": sorted(ivf_rows),
+    }
+    return out
+
+
 def main() -> None:
     web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
     o = oracle.crawl(web, CrawlConfig(), max_waves=3)
@@ -165,6 +372,8 @@ def main() -> None:
         "types": ["VARCHAR", "DOUBLE", "DOUBLE", "BIGINT"],
         "rows": sorted(ft_rows),
     }
+
+    out.update(testdata_oracles())
 
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)

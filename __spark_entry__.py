@@ -69,14 +69,13 @@ _DOC_URLS_SQL = """
 # --------------------------------------------------------------------------
 
 def q_f1_url_components(spark, sf_dir):
-    """F1: url -> (scheme, host, path); reference src/utils/utils.go:47-53."""
+    """F1: url -> (scheme, host, path) via the ENGINE's canonicalize UDF
+    (grawler.urlnorm — the same Arrow pass every crawl wave runs), not a
+    lookalike regexp; reference src/utils/utils.go:47-53."""
+    from grawler.urlnorm import with_canonical
+
     u = _doc_urls(spark, sf_dir)
-    return u.select(
-        "doc_id", "url",
-        F.regexp_extract("url", _URL_RE, 1).alias("scheme"),
-        F.regexp_extract("url", _URL_RE, 2).alias("host"),
-        F.regexp_extract("url", _URL_RE, 3).alias("path"),
-    )
+    return with_canonical(u).select("doc_id", "url", "scheme", "host", "path")
 
 
 def q_f2_allowlist(spark, sf_dir):

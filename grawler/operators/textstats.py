@@ -128,20 +128,23 @@ def fingerprint64_one(data: bytes) -> int:
 
 
 @pandas_udf(LongType())
-def fingerprint64_udf(text: pd.Series) -> pd.Series:
-    """Fingerprint of the normalized token stream ('tok1 tok2 ... ')."""
-    import re
-
-    word_re = re.compile(WORD_RE)
-    out = np.empty(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        toks = word_re.findall((t or "").lower())
-        out[i] = fingerprint64_one(
-            (" ".join(toks) + " ").encode() if toks else b"")
+def fingerprint64_udf(stream: pd.Series) -> pd.Series:
+    """Polynomial hash of a PRE-TOKENIZED stream ('tok1 tok2 ... tokN').
+    Tokenization happens native-side (regexp_extract_all + concat_ws in
+    `fingerprint`), so the only Python work per document is the numpy
+    multiply-accumulate — one Arrow pass over ready strings."""
+    out = np.empty(len(stream), dtype=np.int64)
+    for i, s in enumerate(stream):
+        out[i] = fingerprint64_one((s + " ").encode() if s else b"")
     return pd.Series(out)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
+    # tokenize JVM-side: Java \w == [A-Za-z0-9_] (matches the re.ASCII
+    # semantics of the offline oracle); concat_ws('') on NULL text -> ""
+    stream = F.concat_ws(
+        " ", F.regexp_extract_all(F.lower(F.col(text_col)),
+                                  F.lit(WORD_RE), 0))
     return df.select(F.col(id_col),
-                     fingerprint64_udf(F.col(text_col)).alias("fp64"))
+                     fingerprint64_udf(stream).alias("fp64"))

@@ -88,6 +88,34 @@ def q_f2_allowlist(spark, sf_dir):
     ).select("doc_id", "url", "host")
 
 
+def q_s2_seed_list_json(spark, sf_dir):
+    """S2 driver-verified: a reference-format seed file
+    {"seed_list": [url, ...]} (src/jsonData/jsonData.go:15-40) round-trips
+    through the engine's loader (spark.read.json + explode). The file is
+    rendered from the same deterministic url fixture the oracle SQL
+    states, so the check covers the loader end to end."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from grawler.synthgen import load_seed_list
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"]).to_pandas()
+    docs = docs[docs.doc_id < 20].sort_values("doc_id")
+
+    def _url(i, src_):
+        scheme = "http" if i % 3 == 0 else ("https" if i % 3 == 1 else "ftp")
+        path = "/robots.txt" if i % 7 == 0 else f"/doc/{i}"
+        return f"{scheme}://{src_}.example{path}"
+
+    p = os.path.join(tempfile.mkdtemp(prefix="grawler_seed_"), "seeds.json")
+    with open(p, "w") as f:
+        _json.dump({"seed_list": [
+            _url(int(r.doc_id), r.source) for r in docs.itertuples()]}, f)
+    return load_seed_list(spark, p)
+
+
 def q_f3_seen_antijoin(spark, sf_dir):
     """F3/J1: URL-seen anti-join shape (reference src/crawler.go:190-192):
     orders with no lineitem = frontier minus seen."""
@@ -393,7 +421,9 @@ def _crawl_result(spark, variant: str = "base"):
     paths that MUST produce identical state (their entries reuse the same
     oracle literals): 'cuckoo' = cuckoo seen-prefilter; 'http' = the real
     batched-HTTP fetcher against a localhost server serving the synthetic
-    web (the deploy fetch path, driver-verified)."""
+    web (the deploy fetch path, driver-verified); 'hot' = a skewed web
+    (host 0 holds 50% of all URLs) driving the salting + deferral
+    machinery, with its own oracle literals."""
     if variant not in _CRAWL_CACHE:
         import dataclasses
 
@@ -402,7 +432,9 @@ def _crawl_result(spark, variant: str = "base"):
         from grawler.engine import CrawlEngine, build_engine
         from grawler.synthgen import spark_tables
 
-        web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+        web = synthgen.generate(
+            seed=42, n_pages=60,
+            shape="hot-host" if variant == "hot" else "mixed")
         tmp = tempfile.mkdtemp(prefix=f"grawler_entry_{variant}_")
         cfg = CrawlConfig()
         if variant == "cuckoo":
@@ -501,6 +533,15 @@ def q_crawl_trace_http(spark, sf_dir):
 
 def q_crawl_trace(spark, sf_dir):
     return _crawl_result(spark).trace()
+
+
+def q_crawl_hot_host(spark, sf_dir):
+    """W4 + §2.10c driver-verified: 3-wave crawl of a skewed synthetic web
+    where ONE host holds 50% of URLs — exercises hot-host salting
+    (scheduler.py) and politeness-deferred late frontier rows; the trace
+    (global order included) must equal the pure-Python oracle literals."""
+    return _crawl_result(spark, "hot").trace().select(
+        "wave", "seq", "url", "host", "depth")
 
 
 def q_crawl_frontier(spark, sf_dir):
@@ -641,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_url_components": q_f1_url_components,
         "f2_allowlist": q_f2_allowlist,
+        "s2_seed_list_json": q_s2_seed_list_json,
         "f3_seen_antijoin": q_f3_seen_antijoin,
         "f4_politeness_topk": q_f4_politeness_topk,
         "f6_child_normalize": q_f6_child_normalize,
@@ -672,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace_http": q_crawl_trace_http,
         "crawl_pages_meta": q_crawl_pages_meta,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_hot_host": q_crawl_hot_host,
         "crawl_host_budget": q_crawl_host_budget,
         "crawl_metrics": q_crawl_metrics,
         "img_phash": q_img_phash,
@@ -793,6 +836,9 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_DOC_URLS_SQL})
             WHERE regexp_extract(url, '{_URL_RE}', 1) IN ('http','https')
               AND regexp_extract(url, '{_URL_RE}', 3) <> '/robots.txt'
+        """,
+        "s2_seed_list_json": f"""
+            SELECT url FROM ({_DOC_URLS_SQL}) WHERE doc_id < 20
         """,
         "f3_seen_antijoin": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders o

@@ -130,10 +130,17 @@ def bloom_anti_join(
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_HASHES,
     n_segments: int = DEFAULT_SEGMENTS,
+    exact_join=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Exact frontier-minus-seen with bloom shuffle avoidance.
 
-    segments=None falls back to the plain anti-join.
+    segments=None falls back to the plain anti-join. `exact_join` plugs in
+    the exact check for maybe-seen rows (the engine passes
+    exactcheck.bucketed_anti_join so the seen side is never shuffled);
+    default is the plain anti-join against `seen`. `persisted` (engine's
+    per-wave cache list) caches the flagged frontier so the probe UDF runs
+    once, not once per union branch.
     """
     if segments is None:
         return frontier.join(seen.select(url_col), url_col, "left_anti")
@@ -145,9 +152,13 @@ def bloom_anti_join(
         "_maybe",
         probe(_segment_col(u, n_segments), *_position_cols(u, m, k)),
     )
+    if persisted is not None:
+        with_flag = with_flag.persist()
+        persisted.append(with_flag)
     definitely_new = with_flag.where(~F.col("_maybe")).drop("_maybe")
     maybe = with_flag.where(F.col("_maybe")).drop("_maybe")
-    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    checked = (exact_join(maybe) if exact_join is not None
+               else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)
 
 
@@ -159,6 +170,8 @@ def bloom_anti_join_cogroup(
     m: int = DEFAULT_BITS,
     k: int = DEFAULT_HASHES,
     n_segments: int = DEFAULT_SEGMENTS,
+    exact_join=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Scale-path probe: NO driver collect, NO broadcast.
 
@@ -202,7 +215,11 @@ def bloom_anti_join_cogroup(
         .cogroup(segments.withColumnRenamed("segment", "_seg").groupby("_seg"))
         .applyInPandas(probe, schema=out_schema)
     )
+    if persisted is not None:
+        flagged = flagged.persist()
+        persisted.append(flagged)
     definitely_new = flagged.where(~F.col("_maybe")).select(*cols)
     maybe = flagged.where(F.col("_maybe")).select(*cols)
-    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    checked = (exact_join(maybe) if exact_join is not None
+               else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)

@@ -50,6 +50,10 @@ class CrawlConfig:
     # above this total filter size the probe switches from the broadcast
     # path to the cogroup path (no driver collect; docs/SCALE.md §3)
     bloom_broadcast_max_bytes: int = 64 << 20
+    # exact checks against the bucketed seen/store_keys tables broadcast
+    # the probe keys (zero-shuffle path) up to this many rows, then degrade
+    # to a shuffle join against the partition-pruned subset (exactcheck.py)
+    seen_probe_broadcast_rows: int = 1 << 20
     # deterministic wave clock origin (epoch seconds); frozen per wave
     clock_origin_s: int = 1_700_000_000
 

@@ -212,6 +212,8 @@ def cuckoo_anti_join_cogroup(
     buckets: int = DEFAULT_BUCKETS,
     slots: int = DEFAULT_SLOTS,
     n_segments: int = DEFAULT_SEGMENTS,
+    exact_join=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Scale-path probe: NO driver collect, NO broadcast (mirror of
     bloom.bloom_anti_join_cogroup). The frontier is shuffled by segment id
@@ -260,9 +262,13 @@ def cuckoo_anti_join_cogroup(
                  .groupby("_seg"))
         .applyInPandas(probe, schema=out_schema)
     )
+    if persisted is not None:
+        flagged = flagged.persist()
+        persisted.append(flagged)
     definitely_new = flagged.where(~F.col("_maybe")).select(*cols)
     maybe = flagged.where(F.col("_maybe")).select(*cols)
-    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    checked = (exact_join(maybe) if exact_join is not None
+               else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)
 
 
@@ -274,6 +280,8 @@ def cuckoo_anti_join(
     buckets: int = DEFAULT_BUCKETS,
     slots: int = DEFAULT_SLOTS,
     n_segments: int = DEFAULT_SEGMENTS,
+    exact_join=None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Exact frontier-minus-seen with cuckoo shuffle avoidance (same
     contract as bloom.bloom_anti_join: positives re-checked by the exact
@@ -290,7 +298,11 @@ def cuckoo_anti_join(
         probe(_segment_col(u, n_segments), _fp_col(u),
               _i1_col(u, buckets)),
     )
+    if persisted is not None:
+        with_flag = with_flag.persist()
+        persisted.append(with_flag)
     definitely_new = with_flag.where(~F.col("_maybe")).drop("_maybe")
     maybe = with_flag.where(F.col("_maybe")).drop("_maybe")
-    checked = maybe.join(seen.select(url_col), url_col, "left_anti")
+    checked = (exact_join(maybe) if exact_join is not None
+               else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)

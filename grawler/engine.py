@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 
 from . import bloom, codecs, schemas
 from .conf import CrawlConfig, DEFAULT
+from .exactcheck import bucketed_anti_join
 from .robots import make_agent_allowed_udf
 from .scheduler import schedule_wave
 from .store import LocalSnapshotStore
@@ -145,14 +146,15 @@ def _seen_filter_fns(cfg: CrawlConfig):
     if cfg.seen_filter == "cuckoo":
         from . import cuckoo
 
-        def probe(frontier, seen, segs):
+        def probe(frontier, seen, segs, exact_join=None, persisted=None):
             total_bytes = cfg.bloom_segments * cfg.cuckoo_buckets * \
                 cfg.cuckoo_slots * 2
             fn = (cuckoo.cuckoo_anti_join
                   if total_bytes <= cfg.bloom_broadcast_max_bytes
                   else cuckoo.cuckoo_anti_join_cogroup)
             return fn(frontier, seen, segs, buckets=cfg.cuckoo_buckets,
-                      slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments)
+                      slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments,
+                      exact_join=exact_join, persisted=persisted)
 
         def build(delta):
             return cuckoo.build_segments(
@@ -164,13 +166,14 @@ def _seen_filter_fns(cfg: CrawlConfig):
                 old, new, buckets=cfg.cuckoo_buckets,
                 slots=cfg.cuckoo_slots)
     else:
-        def probe(frontier, seen, segs):
+        def probe(frontier, seen, segs, exact_join=None, persisted=None):
             total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
             fn = (bloom.bloom_anti_join
                   if total_bytes <= cfg.bloom_broadcast_max_bytes
                   else bloom.bloom_anti_join_cogroup)
             return fn(frontier, seen, segs, m=cfg.bloom_m,
-                      k=cfg.bloom_num_hashes, n_segments=cfg.bloom_segments)
+                      k=cfg.bloom_num_hashes, n_segments=cfg.bloom_segments,
+                      exact_join=exact_join, persisted=persisted)
 
         def build(delta):
             return bloom.build_segments(
@@ -254,6 +257,10 @@ class CrawlEngine:
         # the sandbox; pass an IcebergSnapshotStore for the spark-submit
         # deployment (same commit_wave/read/last_wave contract)
         self.state = state_store or LocalSnapshotStore(spark, warehouse)
+        # (bucketed seen df incl _b, nb) when the backend provides the
+        # bucketed layout — refreshed by run() after every wave; None makes
+        # run_wave fall back to the plain anti-join (direct-call tests)
+        self._seen_bucketed = None
         self.agent_allowed = make_agent_allowed_udf(cfg.user_agent)
         self.robots_cache_init = robots_cache_init
         # the fetch seam: SimFetcher joins the synthetic web (sandbox
@@ -310,10 +317,26 @@ class CrawlEngine:
         # 1. F3/J1 — exact dedup vs seen; a bloom OR cuckoo prefilter routes
         # definitely-unseen rows around the shuffle (north_star: partitioned
         # xxhash64 bloom/cuckoo; exactness preserved — see grawler.bloom /
-        # grawler.cuckoo)
+        # grawler.cuckoo). When the store provides the bucketed seen layout,
+        # the exact check for maybe-seen rows partition-prunes + broadcasts
+        # (grawler.exactcheck) instead of shuffling the full seen table —
+        # the round-2 O(total-state) cost — and degrades to a pruned-subset
+        # shuffle above the broadcast budget.
+        exact = None
+        if self._seen_bucketed is not None:
+            _sb, _snb = self._seen_bucketed
+
+            def exact(mb, _sb=_sb, _snb=_snb):
+                return bucketed_anti_join(
+                    mb, _sb, _snb, "url",
+                    cfg.seen_probe_broadcast_rows, persisted)
+
         if cfg.use_bloom and bloom_segments is not None:
             probe, _build, _merge = _seen_filter_fns(cfg)
-            cand = probe(frontier, seen, bloom_segments)
+            cand = probe(frontier, seen, bloom_segments,
+                         exact_join=exact, persisted=persisted)
+        elif exact is not None:
+            cand = exact(frontier)
         else:
             cand = frontier.join(seen.select("url"), "url", "left_anti")
 
@@ -480,7 +503,6 @@ class CrawlEngine:
             F.col("doc.content").alias("content"),  # InsertDocument.Content
             F.lit(wave).alias("wave"),               # parity (common.go:50)
         )
-        seen_all = seen.select("url").unionByName(seen_delta.select("url"))
 
         # 7. F1/F2/F6/J4 — children: explode, canonicalize, filter, dedup
         kids = (
@@ -507,12 +529,21 @@ class CrawlEngine:
             .where(allow_predicate(cfg.allowed_schemes, cfg.blocked_paths))
         )
         w_first = Window.partitionBy("url").orderBy("seq", "pos")
-        exclude = seen_all.unionByName(deferred.select("url"))
+        # O(wave)-sized exclusions (this wave's new urls + deferred rows)
+        # ride one anti-join with the children shuffle; the persisted seen
+        # table goes through the bucketed exact check so it is never
+        # shuffled (it was the other O(total-state) shuffle in round 2)
+        exclude_small = seen_delta.select("url").unionByName(
+            deferred.select("url"))
         new_children = (
             kids.withColumn("_rn", F.row_number().over(w_first))
             .where(F.col("_rn") == 1)
             .select(*FRONTIER_COLS)
-            .join(exclude, "url", "left_anti")  # one shuffle, not two
+            .join(exclude_small, "url", "left_anti")
+        )
+        new_children = (
+            exact(new_children) if exact is not None
+            else new_children.join(seen.select("url"), "url", "left_anti")
         )
         frontier_adds = (
             new_children if wave > 0
@@ -540,8 +571,26 @@ class CrawlEngine:
             .where(F.col("_rn") == 1)
             .select("image_id", "html_caption")
         )
-        store_rows = (
-            img_first.join(self.images, "image_id", "inner")
+        # bounded store dedup BEFORE decode, against the key-only BUCKETED
+        # store_keys table (never the stored payload): already-stored
+        # images are not re-decoded, the store_keys side is partition-
+        # pruned instead of shuffled, and compaction keeps its file count
+        # bounded — wave cost is O(new keys), independent of store size.
+        rb = (self.state.read_bucketed("store_keys")
+              if hasattr(self.state, "read_bucketed") else None)
+        if rb is not None:
+            img_new = bucketed_anti_join(
+                img_first, rb[0], rb[1], "image_id",
+                cfg.seen_probe_broadcast_rows, persisted)
+        else:
+            existing_keys = self.state.read("store_keys")
+            img_new = (
+                img_first.join(existing_keys.select("image_id"),
+                               "image_id", "left_anti")
+                if existing_keys is not None else img_first
+            )
+        store_delta = (
+            img_new.join(self.images, "image_id", "inner")
             .withColumn("ph", decode_phash_udf(F.col("bytes"), F.col("fmt")))
             .where(F.col("ph.ok"))
             .select(
@@ -550,17 +599,6 @@ class CrawlEngine:
                 F.col("ph.phash").alias("phash"),
             )
         )
-        # bounded store dedup: anti-join against the key-only append table
-        # (image_id per wave), NOT the full store union — the wave commit
-        # never scans stored image bytes, so its cost is independent of
-        # total store size (O(keys), not O(100 TB of payload)).
-        existing_keys = self.state.read("store_keys")
-        if existing_keys is not None:
-            store_delta = store_rows.join(
-                existing_keys.select("image_id"), "image_id", "left_anti"
-            )
-        else:
-            store_delta = store_rows
         store_delta = store_delta.persist()  # decode once: count + write
         persisted.append(store_delta)
         _t0 = _time.time()
@@ -675,6 +713,9 @@ class CrawlEngine:
             seen = self.state.read("seen")
             seen = (seen.select("url") if seen is not None
                     else spark.createDataFrame([], "url string"))
+            self._seen_bucketed = (
+                self.state.read_bucketed("seen")
+                if hasattr(self.state, "read_bucketed") else None)
             robots_cache = self.state.read("robots_cache")
             if robots_cache is None:
                 robots_cache = spark.createDataFrame([], schemas.ROBOTS)
@@ -699,6 +740,7 @@ class CrawlEngine:
             start = 0
             frontier = self._seed_frontier(seeds)
             seen = spark.createDataFrame([], "url string")
+            self._seen_bucketed = None
             robots_cache = (
                 self.robots_cache_init
                 if self.robots_cache_init is not None
@@ -717,6 +759,9 @@ class CrawlEngine:
             waves = wave + 1
             frontier = self.state.read("frontier")
             seen = self.state.read("seen").select("url")
+            self._seen_bucketed = (
+                self.state.read_bucketed("seen")
+                if hasattr(self.state, "read_bucketed") else None)
             robots_cache = self.state.read("robots_cache")
             if cfg.use_bloom:
                 bloom_segments = self.state.read("bloom")

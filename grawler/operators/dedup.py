@@ -81,15 +81,23 @@ def _affine_params(num_hashes: int, seed: int = 7):
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
                        seed: int = 7) -> DataFrame:
-    """(id, mh0..mh{k-1}) — one xxhash64 pass + k affine mins, all native."""
+    """(id, mh0..mh{k-1}) — one xxhash64 pass + k affine mins, all native.
+
+    The shingle hash is projected ONCE (`_h`) below the aggregate instead
+    of being written inline in each of the k min-aggs: inline, every
+    shingle row evaluated xxhash64+pmod k times (the same k-fold
+    re-evaluation trap simhash_signatures documents); as a separate
+    non-cheap alias, CollapseProject leaves the projection in place and
+    each row hashes once. Results are bit-identical (same math)."""
     a, b = _affine_params(num_hashes, seed)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    hashed = sh.select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("_h"))
     aggs = [
-        F.min(F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])),
+        F.min(F.pmod(F.col("_h") * F.lit(int(a[i])) + F.lit(int(b[i])),
                      F.lit(MERSENNE_P))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -110,7 +118,10 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sh = shingles(df, text_col, id_col, n).persist()
-    sig = minhash_signatures(sh, num_hashes, seed)
+    # persisted like sh: the banded frame self-joins, and without the cache
+    # each side would recompute the full shingle->signature aggregation
+    # (AQE does not reuse the exchange across the two scan subtrees here)
+    sig = minhash_signatures(sh, num_hashes, seed).persist()
     band_cols = F.array(
         *[
             F.xxhash64(
@@ -318,7 +329,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by simhash: 16-bit band buckets (any pair within
     hamming<=3 of a 64-bit hash shares at least one of 4 bands), then exact
     hamming verify via bit_count(xor)."""
-    sh = simhash_signatures(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col).persist()
     return hamming_band_pairs(sh, "id", "sh", max_hamming, n_bands=4)
 
 

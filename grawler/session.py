@@ -36,6 +36,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("GRAWLER_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the wave pipeline builds large plan trees; default (unbounded)
+        # plan-string rendering OOMed the driver after ~10k stages in one
+        # session (StringConcat.append in explainString), and the SQL
+        # status store retains one plan string per execution. Bound both:
+        # plans truncate at 1 MB and only 50 executions are retained.
+        .config("spark.sql.maxPlanStringLength", str(1 << 20))
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "400")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -22,15 +22,23 @@ re-runs that wave deterministically — no duplicate fetches survive into
 state (north_rule: resumable with per-partition lineage + metrics).
 
 Table modes:
-  append — per-wave delta dirs (seen, store, trace, metrics): O(delta) write.
-  merge  — keyed delta dirs with add/remove ops (frontier, robots_cache):
-           O(delta) write per wave; reads resolve latest-op-per-key since the
-           last compaction; every `compact_every` waves a resolved snapshot is
-           rewritten so read cost stays bounded. This is what keeps a
-           10^10-row frontier from being rewritten every wave — the wave
-           commit cost is O(changed rows), not O(total frontier). The Iceberg
-           deployment expresses the same deltas as MERGE INTO / DELETE.
-  full   — per-wave full snapshot (bloom only: bounded segment set).
+  append   — per-wave delta dirs (store, trace, metrics): O(delta) write.
+  bucketed — per-wave delta dirs hash-partitioned by
+             `_b = pmod(xxhash64(key), nb)` (seen, store_keys): the tables
+             every wave PROBES. The layout lets exactcheck.bucketed_anti_join
+             partition-prune + broadcast instead of shuffling the table;
+             compaction folds deltas into one snapshot and grows nb so
+             bucket size stays bounded (BENCH/SEEN_PROBE.md). Iceberg
+             expresses the same layout as a bucket(nb, key) transform.
+  merge    — keyed delta dirs with add/remove ops (frontier, robots_cache):
+             O(delta) write per wave; reads resolve latest-op-per-key since
+             the last compaction; every `compact_every` waves a resolved
+             snapshot is rewritten so read cost stays bounded. This is what
+             keeps a 10^10-row frontier from being rewritten every wave —
+             the wave commit cost is O(changed rows), not O(total frontier).
+             The Iceberg deployment expresses the same deltas as
+             MERGE INTO / DELETE.
+  full     — per-wave full snapshot (bloom only: bounded segment set).
 """
 
 from __future__ import annotations
@@ -42,21 +50,44 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-APPEND_TABLES = ("seen", "store", "store_keys", "trace", "metrics",
-                 "host_budget", "pages_meta")
+APPEND_TABLES = ("store", "trace", "metrics", "host_budget", "pages_meta")
 MERGE_TABLES = {"frontier": "url", "robots_cache": "host"}  # table -> key
 FULL_TABLES = ("bloom",)
+# key tables that every wave PROBES (exact seen check, store dedup): written
+# hash-bucketed on disk (dir partition `_b = pmod(xxhash64(key), nb)`) so the
+# probe can partition-prune instead of shuffling the whole table, and folded
+# into the compaction cycle so nb grows with the table (bounded bucket size
+# -> probe cost O(|probe| x bucket_size), independent of total table size).
+# The Iceberg deployment expresses the same layout as a `bucket(nb, key)`
+# partition transform (storage-partitioned join, no shuffle on either side).
+BUCKETED_TABLES = {"seen": "url", "store_keys": "image_id"}  # table -> key
+BUCKET_COL = "_b"
 
 OP_COL = "_op"    # 'add' | 'remove'; engine supplies it on merge deltas
 WV_COL = "_wv"    # stamping wave, added by the store at write time
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
 class LocalSnapshotStore:
     def __init__(self, spark: SparkSession, path: str,
-                 compact_every: int = 8):
+                 compact_every: int = 8,
+                 initial_buckets: int = 8,
+                 bucket_target_rows: int = 1 << 20):
         self.spark = spark
         self.path = path
         self.compact_every = max(2, compact_every)
+        # bucketed-table layout: nb starts at initial_buckets and doubles at
+        # compaction whenever rows/nb would exceed bucket_target_rows, so
+        # bucket SIZE stays bounded as the table grows (the probe-cost
+        # invariant). nb is recorded per manifest entry; it only changes at
+        # a compaction (which rewrites every row under the new nb), so all
+        # entries a read unions share one consistent nb.
+        self.initial_buckets = max(1, initial_buckets)
+        self.bucket_target_rows = max(1, bucket_target_rows)
+        self._nb_cache: dict[str, int] = {}
         os.makedirs(os.path.join(path, "_lineage"), exist_ok=True)
 
     # ------------------------------------------------------------- commit
@@ -90,6 +121,23 @@ class LocalSnapshotStore:
                 start = i
         return entries[start:]
 
+    def _current_nb(self, table: str) -> int:
+        """Bucket count in force for `table` (latest committed entry wins;
+        nb only changes at compaction, which rewrites all rows)."""
+        if table in self._nb_cache:
+            return self._nb_cache[table]
+        for m in reversed(self.manifests()):
+            e = m.get("tables", {}).get(table)
+            if e and "nb" in e:
+                self._nb_cache[table] = int(e["nb"])
+                return self._nb_cache[table]
+        return self.initial_buckets
+
+    def _with_bucket(self, df: DataFrame, key: str, nb: int) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(nb)).cast("int"))
+
     def commit_wave(self, wave: int, tables: dict[str, DataFrame],
                     meta: dict | None = None) -> dict:
         """Write all table data, then the lineage manifest (commit point).
@@ -102,7 +150,45 @@ class LocalSnapshotStore:
             name, df = item
             p = self._table_path(name, wave)
             t0 = time.time()
-            if name in MERGE_TABLES:
+            extra = {}
+            if name in BUCKETED_TABLES:
+                key = BUCKETED_TABLES[name]
+                nb = self._current_nb(name)
+                do_compact = wave > 0 and wave % self.compact_every == 0
+                if do_compact:
+                    prior = self._merge_entries(name, upto_wave=wave - 1)
+                    out = df
+                    for e in prior:
+                        if not e.get("files"):
+                            continue  # empty delta: _SUCCESS-only dir
+                        out = out.unionByName(
+                            self.spark.read.parquet(e["path"])
+                            .drop(BUCKET_COL),
+                            allowMissingColumns=True)
+                    out = out.dropDuplicates([key])
+                    # adaptive nb: bucket size stays <= bucket_target_rows,
+                    # so the per-wave probe cost (O(probe-keys x bucket
+                    # size)) is flat while the table grows. Grow-only to
+                    # avoid churn; always a power of two so bucket ids nest.
+                    n = out.count()
+                    nb = max(nb, _next_pow2(
+                        -(-n // self.bucket_target_rows)))
+                    mode = "compact"
+                else:
+                    out = df
+                    mode = "bucketed"
+                # sorted within each bucket file: parquet row-group min/max
+                # stats on the key then let point probes skip row groups
+                # inside a bucket (the LSM-style second pruning level under
+                # the _b directory pruning)
+                (self._with_bucket(out, key, nb)
+                 .repartition(nb, F.col(BUCKET_COL))
+                 .sortWithinPartitions(BUCKET_COL, key)
+                 .write.mode("overwrite")
+                 .partitionBy(BUCKET_COL).parquet(p))
+                self._nb_cache[name] = nb
+                extra["nb"] = nb
+            elif name in MERGE_TABLES:
                 key = MERGE_TABLES[name]
                 delta = df.withColumn(WV_COL, F.lit(wave))
                 do_compact = wave > 0 and wave % self.compact_every == 0
@@ -136,11 +222,14 @@ class LocalSnapshotStore:
             # audited / replayed at file granularity (Iceberg gets this from
             # its own snapshot manifests)
             try:
-                files = sorted(fn for fn in os.listdir(p)
-                               if fn.startswith("part-"))
+                files = sorted(
+                    fn if root == p else os.path.join(
+                        os.path.relpath(root, p), fn)
+                    for root, _dirs, fns in os.walk(p)
+                    for fn in fns if fn.startswith("part-"))
             except OSError:
                 files = []
-            return name, {"path": p, "mode": mode, "files": files}
+            return name, {"path": p, "mode": mode, "files": files, **extra}
 
         # independent tables write concurrently (inputs are persisted or
         # disjoint); Spark's scheduler interleaves the jobs, cutting the
@@ -193,9 +282,34 @@ class LocalSnapshotStore:
                 return m["meta"]
         return {}
 
+    def read_bucketed(
+        self, table: str, upto_wave: int | None = None,
+    ) -> tuple[DataFrame, int] | None:
+        """(df including the `_b` partition column, nb) for a bucketed key
+        table — compacted snapshot + later deltas, all written under ONE nb
+        (the invariant the pruned probe depends on; asserted here)."""
+        entries = [e for e in self._merge_entries(table, upto_wave)
+                   if e.get("files")]  # skip _SUCCESS-only empty deltas
+        if not entries:
+            return None
+        nbs = {int(e["nb"]) for e in entries}
+        if len(nbs) != 1:  # impossible unless manifests were hand-edited
+            raise ValueError(
+                f"inconsistent bucket counts {nbs} for table {table!r}")
+        dfs = [self.spark.read.parquet(e["path"]) for e in entries]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+        return df, nbs.pop()
+
     def read(self, table: str, upto_wave: int | None = None) -> DataFrame | None:
         """append: union of committed deltas; merge: latest-op-per-key over
-        deltas since the last compaction; full: latest snapshot."""
+        deltas since the last compaction; full: latest snapshot; bucketed:
+        compacted snapshot + later deltas (bucket column stripped — use
+        read_bucketed for the probe layout)."""
+        if table in BUCKETED_TABLES:
+            r = self.read_bucketed(table, upto_wave)
+            return None if r is None else r[0].drop(BUCKET_COL)
         if table in MERGE_TABLES:
             entries = self._merge_entries(table, upto_wave)
             if not entries:
@@ -298,6 +412,22 @@ class IcebergSnapshotStore:
             f"INSERT ({', '.join(cols)}) "
             f"VALUES ({', '.join('s.' + c for c in cols)})"
         )
+
+    def create_sql(self, table: str, columns_sql: str,
+                   nb: int = 1 << 10) -> str:
+        """CREATE TABLE DDL. The bucketed key tables (seen, store_keys)
+        carry a `bucket(nb, key)` partition transform — the Iceberg
+        equivalent of LocalSnapshotStore's `_b` directory layout — so the
+        per-wave exact probes run as storage-partitioned joins
+        (spark.sql.sources.v2.bucketing.enabled + requireAllClusterKeys
+        off): the table side is read bucket-aligned with NO shuffle, and
+        probe-untouched buckets are pruned at the manifest level."""
+        part = ""
+        if table in BUCKETED_TABLES:
+            part = (f" PARTITIONED BY "
+                    f"(bucket({nb}, {BUCKETED_TABLES[table]}))")
+        return (f"CREATE TABLE IF NOT EXISTS {self._q(table)} "
+                f"({columns_sql}) USING iceberg{part}")
 
     def append_sql(self, table: str) -> str:
         return f"INSERT INTO {self._q(table)} SELECT * FROM _delta"
@@ -416,7 +546,8 @@ class IcebergSnapshotStore:
         filter to committed waves via their wave column."""
         df = self.spark.table(self._q(table))
         lw = upto_wave if upto_wave is not None else self.last_wave()
-        if table in APPEND_TABLES and lw is not None:
+        if (table in APPEND_TABLES or table in BUCKETED_TABLES) \
+                and lw is not None:
             wave_col = "first_wave" if table == "seen" else "wave"
             if wave_col in df.columns:
                 df = df.where(df[wave_col] <= lw)

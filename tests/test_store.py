@@ -52,9 +52,14 @@ def test_manifest_is_commit_point(spark, tmp_path):
     assert s.last_wave() == 0
     assert s.read("seen").count() == 3
     # per-partition lineage: manifest names each partition file written
+    # (seen is a BUCKETED table, so files live under _b=<bucket>/ dirs)
+    import os as _os
+
     entry = s.manifests()[0]["tables"]["seen"]
-    assert entry["files"] and all(f.startswith("part-")
-                                  for f in entry["files"])
+    assert entry["files"] and all(
+        _os.path.basename(f).startswith("part-") for f in entry["files"])
+    assert entry["nb"] == s.initial_buckets
+    assert all(f.startswith("_b=") for f in entry["files"])
     s.commit_wave(1, {"seen": df})
     assert s.read("seen").count() == 6          # append mode unions deltas
     assert s.read("seen", upto_wave=0).count() == 3
@@ -208,3 +213,62 @@ def test_engine_resume_across_compaction_boundary(spark, tmp_path):
     fa = sorted(r["url"] for r in full.frontier().collect())
     fb = sorted(r["url"] for r in resumed.frontier().collect())
     assert fa == fb
+
+
+def test_bucketed_table_compaction_and_adaptive_nb(spark, tmp_path):
+    """seen/store_keys: deltas are bucketed dirs; compaction folds them
+    into one snapshot, dedups keys, and grows nb (power of two) so bucket
+    size stays <= bucket_target_rows; reads start at the compaction."""
+    st = LocalSnapshotStore(spark, str(tmp_path), compact_every=2,
+                            initial_buckets=2, bucket_target_rows=8)
+    def urls(lo, hi):
+        return spark.createDataFrame(
+            [(f"u{i}",) for i in range(lo, hi)], "url string")
+
+    st.commit_wave(0, {"seen": urls(0, 10)})
+    st.commit_wave(1, {"seen": urls(10, 30)})
+    st.commit_wave(2, {"seen": urls(20, 40)})   # overlap -> compact dedups
+    ms = st.manifests()
+    assert ms[2]["tables"]["seen"]["mode"] == "compact"
+    # 40 distinct keys / target 8 -> nb grew to 8 (next pow2 of 5)
+    assert ms[2]["tables"]["seen"]["nb"] == 8
+    assert st.read("seen").count() == 40
+    assert "_b" not in st.read("seen").columns     # public read strips _b
+    df, nb = st.read_bucketed("seen")
+    assert nb == 8 and "_b" in df.columns
+    # post-compaction delta written under the grown nb
+    st.commit_wave(3, {"seen": urls(40, 45)})
+    assert st.manifests()[3]["tables"]["seen"]["nb"] == 8
+    assert st.read("seen").count() == 45
+    # a fresh store instance (resume) recovers nb from the manifests
+    st2 = LocalSnapshotStore(spark, str(tmp_path), compact_every=2,
+                             initial_buckets=2, bucket_target_rows=8)
+    assert st2._current_nb("seen") == 8
+    assert st2.read_bucketed("seen")[1] == 8
+
+
+def test_bucketed_empty_delta_skipped_on_read(spark, tmp_path):
+    st = LocalSnapshotStore(spark, str(tmp_path), initial_buckets=4)
+    st.commit_wave(0, {"store_keys": spark.createDataFrame(
+        [("i1",), ("i2",)], "image_id string")})
+    st.commit_wave(1, {"store_keys": spark.createDataFrame(
+        [], "image_id string")})   # a wave with no new images
+    assert st.manifests()[1]["tables"]["store_keys"]["files"] == []
+    assert st.read("store_keys").count() == 2
+    df, nb = st.read_bucketed("store_keys")
+    assert nb == 4 and df.count() == 2
+
+
+def test_iceberg_create_sql_bucket_transform():
+    class FakeSpark:
+        pass
+
+    st = IcebergSnapshotStore(FakeSpark(), catalog="crawl",
+                              namespace="grawler")
+    ddl = st.create_sql("seen", "url string, url_hash bigint, "
+                        "first_wave int", nb=4096)
+    assert ddl.endswith("USING iceberg PARTITIONED BY (bucket(4096, url))")
+    kd = st.create_sql("store_keys", "image_id string", nb=256)
+    assert "PARTITIONED BY (bucket(256, image_id))" in kd
+    # non-probe tables stay unpartitioned by default
+    assert "PARTITIONED" not in st.create_sql("trace", "url string")

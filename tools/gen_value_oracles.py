@@ -373,6 +373,21 @@ def main() -> None:
         "rows": sorted(ft_rows),
     }
 
+    # hot-host skew fixture (W4 salting + §2.10c deferral driver-verified):
+    # host h0 holds 50% of all URLs (synthgen._host_of: even page index ->
+    # host 0), so politeness tokens force multi-wave deferral and the
+    # engine's salted top-k must still reproduce the oracle's exact trace
+    web_hot = synthgen.generate(seed=42, n_pages=60, shape="hot-host")
+    o_hot = oracle.crawl(web_hot, CrawlConfig(), max_waves=3)
+    hosts = {}
+    for _w, _s, _u, h, _d in o_hot.trace:
+        hosts[h] = hosts.get(h, 0) + 1
+    out["crawl_hot_host"] = {
+        "columns": ["wave", "seq", "url", "host", "depth"],
+        "types": ["INTEGER", "INTEGER", "VARCHAR", "VARCHAR", "INTEGER"],
+        "rows": [list(t) for t in o_hot.trace],
+    }
+
     out.update(testdata_oracles())
 
     with open(OUT, "w") as f:

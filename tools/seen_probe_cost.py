@@ -1,0 +1,172 @@
+"""Measure the per-wave exact seen-check cost as the seen table grows.
+
+Round-2 finding (VERDICT "What's wrong" #1): `maybe LEFT ANTI JOIN seen`
+shuffles the full seen table every wave — O(total state). The fix is the
+bucketed layout (store.BUCKETED_TABLES) + the pruned/broadcast probe
+(exactcheck.bucketed_anti_join). This bench grows seen 10x at a constant
+probe size and records both paths' wall time; "done" = the bucketed probe
+stays ~flat while the plain anti-join grows with the table.
+
+Usage: python tools/seen_probe_cost.py [sizes...] (defaults 1e6 1e7)
+Writes BENCH/SEEN_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from grawler.exactcheck import bucketed_anti_join  # noqa: E402
+from grawler.session import get_spark  # noqa: E402
+from grawler.store import LocalSnapshotStore  # noqa: E402
+
+# two regimes, both measured:
+#  - pruned: probe spread < nb  -> partition pruning skips most buckets;
+#    cost O(|probe| x bucket_size), FLAT as seen grows (nb grows instead)
+#  - scan:   probe spread >= nb -> every bucket hit; the win is shuffle
+#    ELISION (broadcast semi over a column-pruned scan), cost O(seen scan)
+#    but with zero shuffle of the seen side (the r2 path shuffled it all)
+REGIMES = [("pruned", 200, 4096), ("scan", 10_000, 1 << 16)]
+
+
+def build_seen(spark, root: str, n: int,
+               target: int) -> LocalSnapshotStore:
+    """Commit n urls through the store in 3 waves so wave 2 compacts and
+    the adaptive nb takes effect (exactly the production write path)."""
+    st = LocalSnapshotStore(spark, root, compact_every=2,
+                            initial_buckets=8,
+                            bucket_target_rows=target)
+    bulk = n - 2_000
+    st.commit_wave(0, {"seen": spark.range(bulk).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 9973).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string"))
+        .alias("url"))})
+    st.commit_wave(1, {"seen": spark.range(bulk, bulk + 1_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 9973).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string"))
+        .alias("url"))})
+    st.commit_wave(2, {"seen": spark.range(bulk + 1_000, n).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 9973).cast("string"),
+                 F.lit(".example/p"), F.col("id").cast("string"))
+        .alias("url"))})
+    return st
+
+
+def probe_df(spark, n_seen: int, probe_rows: int):
+    """probe_rows urls: even ids hit (drawn from the seen id range), odd
+    ids miss (beyond it) — the frontier's maybe-seen mix."""
+    return spark.range(probe_rows).select(
+        F.concat(
+            F.lit("http://h"),
+            (F.when(F.col("id") % 2 == 0,
+                    (F.col("id") * 997) % n_seen)
+             .otherwise(n_seen + F.col("id")) % 9973).cast("string"),
+            F.lit(".example/p"),
+            F.when(F.col("id") % 2 == 0, (F.col("id") * 997) % n_seen)
+            .otherwise(n_seen + F.col("id")).cast("string"),
+        ).alias("url"))
+
+
+def timed(fn, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
+    spark = get_spark("seen-probe-cost", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for regime, probe_rows, target in REGIMES:
+        rows = []
+        for n in sizes:
+            root = tempfile.mkdtemp(prefix=f"seenprobe_{n}_")
+            try:
+                st = build_seen(spark, root, n, target)
+                seen_b, nb = st.read_bucketed("seen")
+                probe = probe_df(spark, n, probe_rows).persist()
+                probe.count()
+                plain = timed(lambda: probe.join(
+                    seen_b.select("url"), "url", "left_anti").count())
+                bucketed = timed(lambda: bucketed_anti_join(
+                    probe, seen_b, nb, "url").count())
+                rows.append((n, nb, plain, bucketed))
+                probe.unpersist()
+                spark.catalog.clearCache()
+                print(f"[{regime}] seen={n:>11,} nb={nb:>5} "
+                      f"plain_anti={plain:6.2f}s "
+                      f"bucketed_probe={bucketed:6.2f}s", flush=True)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        results[regime] = (probe_rows, target, rows)
+
+    g = sizes[-1] / sizes[0]
+    md = [
+        "# Exact seen-check cost vs seen-table size",
+        "",
+        "Per-wave exact check of a constant probe set against a growing",
+        "seen table (best of 3, local[32]); tables committed through",
+        "LocalSnapshotStore's production write path (compaction at wave 2,",
+        "adaptive nb). Round 2 shuffled the FULL seen side every wave",
+        "(VERDICT r2 finding #1); the bucketed layout + exactcheck probe",
+        "replaces that with a partition-pruned, broadcast-semi scan.",
+        "",
+    ]
+    for regime, (probe_rows, target, rows) in results.items():
+        md += [
+            f"## {regime} regime — probe {probe_rows:,} urls/wave, "
+            f"target {target:,} rows/bucket",
+            "",
+            "| seen rows | nb | plain left-anti (r2 path) | "
+            "bucketed probe |",
+            "|---|---|---|---|",
+        ]
+        for n, nb, plain, bucketed in rows:
+            md.append(f"| {n:,} | {nb} | {plain:.2f} s | {bucketed:.2f} s |")
+        r0, r1 = rows[0], rows[-1]
+        md += [
+            "",
+            f"Seen grew {g:.0f}x: plain {r1[2] / max(r0[2], 1e-9):.1f}x "
+            f"slower, bucketed probe {r1[3] / max(r0[3], 1e-9):.1f}x.",
+            "",
+        ]
+    md += [
+        "## Reading the two regimes",
+        "",
+        "- **pruned** (probe spread < nb): the `_b IN (...)` filter skips",
+        "  most bucket dirs; cost is O(probe keys x bucket size) and stays",
+        "  FLAT while seen grows 10x, because compaction grows nb to hold",
+        "  bucket size constant. This is the per-wave frontier check once",
+        "  nb outgrows the wave cap.",
+        "- **scan** (probe spread >= nb): every bucket is hit, so the probe",
+        "  degrades to a full — but column-pruned and SHUFFLE-FREE — scan:",
+        "  the seen side streams through a broadcast semi-join instead of",
+        "  being hash-repartitioned. At 10^10 rows the r2 path shuffled",
+        "  ~hundreds of GB per wave (disk + network + sort); this path",
+        "  reads the url column sequentially and writes nothing.",
+        "",
+        "Knob: store.bucket_target_rows trades bucket-dir count (metadata)",
+        "against how large a probe still lands in the pruned regime.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "SEEN_PROBE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -241,40 +241,66 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(id, sh): 64-bit simhash, fully JVM-side — no Python in the path.
 
-    One pass: explode tokens, xxhash64 per token (native), 64 conditional-sum
-    bit votes in a single groupBy, then bit-pack sign(vote) natively. Replaces
-    the earlier per-row/per-token Python UDF (two zlib.crc32 calls per token)
-    that dominated dedup_simhash wall time. Docs with zero tokens get sh=0
-    (explode_outer keeps them; null tokens vote 0 on every bit).
+    Bit-count form with 16-bit LANE PACKING. The round-2 shape was one
+    groupBy with 64 conditional-sum vote aggregates; >100 aggregate buffer
+    fields pushes HashAggregate out of whole-stage codegen and the
+    interpreted evaluator cost ~23 us/token (2.4 s for 108k tokens,
+    measured). This shape:
+
+      level 1 (hot, WSCG-sized, map-side partial agg preserved):
+        groupBy(id, chunk) with 17 buffer fields — token count n plus 16
+        longs p0..p15, where p_g packs the counts of bits {g, g+16, g+32,
+        g+48} into four 16-bit lanes. Chunk = token_pos >> 15 bounds any
+        group at 32768 tokens, so a lane can never overflow into its
+        neighbor.
+      level 2 (tiny, O(docs x chunks) rows):
+        sum n and the 64 unpacked lane counts per id.
+
+    Bit b of the hash is set iff strictly more tokens have bit b set than
+    clear (2*c_b > n) — identical to the +-1 vote form, so signatures are
+    bit-for-bit unchanged (pytest XXH64 oracle + driver VALUES oracle).
+    Docs with zero tokens (explode_outer null) get sh=0.
     """
-    # materialize the token hash ONCE before the aggregate: referencing the
-    # xxhash64 expression inside each of the 64 vote aggs would make
-    # Catalyst evaluate it 64x per token row (measured 4x wall blowup)
+    # materialize the token hash ONCE before the aggregate (referencing the
+    # xxhash64 expression inside each packed sum would re-evaluate it per
+    # lane-group — the same re-evaluation trap the round-1 code hit)
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(_tokens(text_col)).alias("tok"),
+        F.posexplode_outer(_tokens(text_col)).alias("pos", "tok"),
     ).select(
         "id",
+        F.shiftright(F.coalesce(F.col("pos"), F.lit(0)), 15).alias("_chunk"),
         # xxhash64(NULL) is the seed, not NULL: keep empty docs' null marker
         F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
     )
-    votes = [
-        F.sum(
-            F.when(F.col("h").isNull(), 0)
-            .when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
+
+    def bit(b):
+        return F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))
+
+    packed = []
+    for g in range(16):
+        e = bit(g)
+        for j in range(1, 4):
+            e = e + F.shiftleft(bit(g + 16 * j), 16 * j)
+        packed.append(F.sum(e).alias(f"p{g}"))
+    level1 = tok.groupBy("id", "_chunk").agg(
+        F.count("h").alias("n"), *packed)
+
+    lane_sums = [
+        F.sum(F.shiftrightunsigned(f"p{g}", 16 * j)
+              .bitwiseAND(F.lit(0xFFFF))).alias(f"c{g + 16 * j}")
+        for j in range(4) for g in range(16)
     ]
-    agg = tok.groupBy("id").agg(*votes)
+    level2 = level1.groupBy("id").agg(F.sum("n").alias("n"), *lane_sums)
+
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for b in range(64):
         fp = fp.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i))
+            F.when(2 * F.col(f"c{b}") > F.col("n"),
+                   F.shiftleft(F.lit(1).cast("long"), b))
             .otherwise(F.lit(0).cast("long"))
         )
-    return agg.select("id", fp.alias("sh"))
+    return level2.select("id", fp.alias("sh"))
 
 
 def hamming_band_pairs(sig: DataFrame, id_col: str = "id",

@@ -633,6 +633,43 @@ def q_img_neardup_phash(spark, sf_dir):
     return phash_neardup(ph, max_hamming=6, n_bands=8)
 
 
+def _media_table(spark, sf_dir):
+    """Opaque-binary media fixture per the multimodal mandate: payload =
+    utf-8 document bytes, typed metadata struct derived from doc_id."""
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            ((F.col("doc_id") % 4 + 1) * 1000).cast("int")
+            .alias("duration_ms"),
+            F.lit(8000).cast("int").alias("sample_rate"),
+            F.lit(24).cast("int").alias("w"),
+            F.lit(16).cast("int").alias("h"),
+        ).alias("meta"),
+    )
+
+
+def q_media_audio_frames(spark, sf_dir):
+    """Audio frame-sampling over opaque binary + typed metadata
+    (mapInPandas; codec seam = deterministic fake, VALUES-oracled by the
+    same numpy functions run offline)."""
+    from grawler.operators.images import audio_frame_sample, fake_pcm_decode
+
+    return audio_frame_sample(_media_table(spark, sf_dir), every_ms=1000,
+                              decoder=fake_pcm_decode)
+
+
+def q_media_video_frames(spark, sf_dir):
+    """Video frame-sampling: mean luma + the REAL image-store phash per
+    sampled frame (codec seam = deterministic fake)."""
+    from grawler.operators.images import (fake_frame_decode,
+                                          video_frame_sample)
+
+    return video_frame_sample(_media_table(spark, sf_dir), sample_fps=1.0,
+                              decoder=fake_frame_decode)
+
+
 def q_img_phash(spark, sf_dir):
     """Decode + phash the synthetic image corpus (C10 plumbing: binary
     column -> Arrow batch -> numpy decode -> LongType)."""
@@ -721,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_neardup_phash": q_img_neardup_phash,
         "img_resize": q_img_resize,
         "img_features": q_img_features,
+        "media_audio_frames": q_media_audio_frames,
+        "media_video_frames": q_media_video_frames,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessionize": q_stream_sessionize,
     }

@@ -7,11 +7,13 @@ Real (numpy, no external libs needed):
   features        compact feature vector: 3x per-channel mean/std + 8-bin
                   luma histogram -> array<float> (feeds similarity ops)
 
-Stubbed (decoder libraries absent in this sandbox; the Spark plumbing —
-schema, batch iteration, partitioning — is real and tested):
-  audio_frame_sample / video_frame_sample raise NotImplementedError unless
-  a deterministic fake is requested (fake=True samples synthetic frames so
-  the pipeline shape can be exercised end-to-end).
+Codec-seamed (no audio/video decoder library exists in this sandbox; the
+Spark plumbing — schemas, Arrow batch iteration, per-frame row explosion,
+feature extraction incl. the real phash on video frames — is fully
+implemented and driver-verified):
+  audio_frame_sample / video_frame_sample take a `decoder` callable; None
+  raises NotImplementedError, and fake_pcm_decode / fake_frame_decode are
+  deterministic numpy doubles the offline VALUES oracle replicates.
 
 All operators are mapInPandas (iterator-of-batches) so one Python worker
 processes whole Arrow batches; no per-row Python.
@@ -119,33 +121,128 @@ def phash_neardup(df: DataFrame, id_col: str = "image_id",
         max_hamming=max_hamming, n_bands=n_bands)
 
 
+# ---------------------------------------------------------------- audio /
+# video: opaque binary payload + typed metadata struct, frame-sampled via
+# mapInPandas. The Spark plumbing (schemas, Arrow batch iteration, per-frame
+# row explosion, feature extraction incl. the REAL phash on video frames) is
+# fully implemented; only the innermost codec call is a seam. No
+# audio/video codec library exists in this sandbox (verified), so
+# decoder=None raises NotImplementedError and the provided fake_* decoders
+# are deterministic numpy doubles the offline VALUES oracle replicates
+# bit-for-bit (tools/gen_value_oracles.py imports these same functions).
+
+AUDIO_FRAMES_SCHEMA = ("media_id bigint, frame_idx int, t_ms int, "
+                       "rms double, frame_sig bigint")
+VIDEO_FRAMES_SCHEMA = ("media_id bigint, frame_idx int, t_ms int, "
+                       "mean_luma double, phash bigint")
+
+
+def fake_pcm_decode(payload: bytes, sample_rate: int, t0_ms: int,
+                    n_samples: int) -> np.ndarray:
+    """Deterministic codec stand-in: float64 PCM in [-1, 1) seeded from
+    (crc32(payload), t0_ms). Platform-stable (PCG64)."""
+    import zlib
+
+    rng = np.random.default_rng((zlib.crc32(payload) ^ t0_ms) & 0xFFFFFFFF)
+    return rng.random(n_samples) * 2.0 - 1.0
+
+
+def fake_frame_decode(payload: bytes, w: int, h: int,
+                      t_ms: int) -> np.ndarray:
+    """Deterministic codec stand-in: (h, w, 3) uint8 frame seeded from
+    (crc32(payload), t_ms)."""
+    import zlib
+
+    rng = np.random.default_rng((zlib.crc32(payload) ^ t_ms) & 0xFFFFFFFF)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
 def audio_frame_sample(df: DataFrame, every_ms: int = 1000,
-                       fake: bool = False) -> DataFrame:
-    """STUB: audio decoders unavailable in this sandbox. With fake=True,
-    emits deterministic pseudo-frames (xxhash-derived) so the downstream
-    plumbing (explode to frame rows, schema, partitioning) runs for real."""
-    if not fake:
+                       decoder=None,
+                       id_col: str = "media_id",
+                       bytes_col: str = "payload",
+                       meta_col: str = "meta") -> DataFrame:
+    """Frame-sampled audio features over an opaque binary column.
+
+    meta struct: (duration_ms int, sample_rate int). One row per sampled
+    frame: rms (6 dp) and frame_sig (first 64 sample-sign bits packed into
+    a long — a tiny audio fingerprint). `decoder(payload, sample_rate,
+    t0_ms, n_samples) -> float64 PCM` is the codec seam: None raises
+    (no audio library in this sandbox); fake_pcm_decode is the
+    deterministic, oracle-replicated test double.
+    """
+    if decoder is None:
         raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; pass fake=True for the deterministic test double")
-    frames = F.transform(
-        F.sequence(F.lit(0), F.lit(4)),
-        lambda i: F.xxhash64(F.col("image_id"), i, F.lit(every_ms)),
-    )
-    return df.select(
-        "image_id", F.posexplode(frames).alias("frame_idx", "frame_sig"))
+            "audio decoding requires a codec library not present in this "
+            "environment; pass decoder=fake_pcm_decode for the "
+            "deterministic test double")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, ts, rmss, sigs = [], [], [], [], []
+            for mid, payload, meta in zip(
+                    pdf[id_col], pdf[bytes_col], pdf[meta_col]):
+                dur = int(meta["duration_ms"])
+                rate = int(meta["sample_rate"])
+                spf = max(1, rate * every_ms // 1000)
+                for k in range(max(0, dur // every_ms)):
+                    pcm = decoder(bytes(payload), rate, k * every_ms, spf)
+                    head = (pcm[:64] > 0).astype(np.uint64)
+                    sig = np.uint64(0)
+                    for j, b in enumerate(head):
+                        sig |= b << np.uint64(j)
+                    mids.append(int(mid))
+                    idxs.append(k)
+                    ts.append(k * every_ms)
+                    rmss.append(round(float(np.sqrt((pcm * pcm).mean())), 6))
+                    sigs.append(int(sig.view(np.int64)))
+            yield pd.DataFrame({"media_id": mids, "frame_idx": idxs,
+                                "t_ms": ts, "rms": rmss, "frame_sig": sigs})
+
+    return df.mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA)
 
 
-def video_frame_sample(df: DataFrame, fps: float = 1.0,
-                       fake: bool = False) -> DataFrame:
-    """STUB, same policy as audio_frame_sample."""
-    if not fake:
+def video_frame_sample(df: DataFrame, sample_fps: float = 1.0,
+                       decoder=None,
+                       id_col: str = "media_id",
+                       bytes_col: str = "payload",
+                       meta_col: str = "meta") -> DataFrame:
+    """Frame-sampled video features over an opaque binary column.
+
+    meta struct: (duration_ms int, w int, h int). One row per sampled
+    frame at `sample_fps`: mean_luma (6 dp, 0..1) and the REAL perceptual
+    hash (codecs.phash64 — the same DCT phash the image store uses) of the
+    decoded frame, so sampled frames feed the existing phash near-dup
+    operator unchanged. `decoder(payload, w, h, t_ms) -> (h, w, 3) uint8`
+    is the codec seam: None raises (no video library in this sandbox);
+    fake_frame_decode is the deterministic, oracle-replicated test double.
+    """
+    if decoder is None:
         raise NotImplementedError(
-            "video decoding requires a video library not present in this "
-            "environment; pass fake=True for the deterministic test double")
-    frames = F.transform(
-        F.sequence(F.lit(0), F.lit(2)),
-        lambda i: F.xxhash64(F.col("image_id"), i),
-    )
-    return df.select(
-        "image_id", F.posexplode(frames).alias("frame_idx", "frame_sig"))
+            "video decoding requires a codec library not present in this "
+            "environment; pass decoder=fake_frame_decode for the "
+            "deterministic test double")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, ts, lumas, hashes = [], [], [], [], []
+            for mid, payload, meta in zip(
+                    pdf[id_col], pdf[bytes_col], pdf[meta_col]):
+                dur = int(meta["duration_ms"])
+                w, h = int(meta["w"]), int(meta["h"])
+                n = int(dur / 1000.0 * sample_fps)
+                for k in range(n):
+                    t_ms = int(k * 1000.0 / sample_fps)
+                    px = decoder(bytes(payload), w, h, t_ms)
+                    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                            + 0.114 * px[:, :, 2])
+                    mids.append(int(mid))
+                    idxs.append(k)
+                    ts.append(t_ms)
+                    lumas.append(round(float(luma.mean()) / 255.0, 6))
+                    hashes.append(codecs.phash64(px))
+            yield pd.DataFrame({"media_id": mids, "frame_idx": idxs,
+                                "t_ms": ts, "mean_luma": lumas,
+                                "phash": hashes})
+
+    return df.mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA)

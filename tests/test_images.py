@@ -43,20 +43,69 @@ def test_features_dim_and_range(spark, image_df):
         assert abs(v[6:].sum() - 1.0) < 1e-6  # histogram normalized
 
 
-def test_stubs_raise_without_fake(spark, image_df):
-    df, _ = image_df
-    with pytest.raises(NotImplementedError):
-        images.audio_frame_sample(df)
-    with pytest.raises(NotImplementedError):
-        images.video_frame_sample(df)
+@pytest.fixture(scope="module")
+def media_df(spark):
+    """Opaque-binary media fixture: payload bytes + typed metadata."""
+    rows = [(i, f"media payload {i}".encode() * (i + 1),
+             {"duration_ms": (i % 3 + 1) * 1000, "sample_rate": 8000,
+              "w": 32, "h": 16})
+            for i in range(6)]
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, "
+              "meta struct<duration_ms int, sample_rate int, w int, h int>")
 
 
-def test_stub_fake_plumbing_runs(spark, image_df):
-    df, web = image_df
-    out = images.video_frame_sample(df, fake=True)
-    rows = out.collect()
-    assert len(rows) == 3 * len(web.images)
-    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+def test_media_ops_raise_without_decoder(spark, media_df):
+    with pytest.raises(NotImplementedError):
+        images.audio_frame_sample(media_df)
+    with pytest.raises(NotImplementedError):
+        images.video_frame_sample(media_df)
+
+
+def test_audio_frame_sample_matches_numpy(spark, media_df):
+    """mapInPandas plumbing vs a direct numpy replication of the same
+    decode seam: row counts, timestamps, rms, and the sign-bit sig."""
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in images.audio_frame_sample(
+                media_df, every_ms=1000,
+                decoder=images.fake_pcm_decode).collect()}
+    total = 0
+    for i in range(6):
+        payload = f"media payload {i}".encode() * (i + 1)
+        n_frames = (i % 3 + 1)
+        total += n_frames
+        for k in range(n_frames):
+            pcm = images.fake_pcm_decode(payload, 8000, k * 1000, 8000)
+            r = rows[(i, k)]
+            assert r["t_ms"] == k * 1000
+            assert r["rms"] == round(float(np.sqrt((pcm * pcm).mean())), 6)
+            sig = 0
+            for j, b in enumerate((pcm[:64] > 0).astype(int)):
+                sig |= int(b) << j
+            sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+            assert r["frame_sig"] == sig
+    assert len(rows) == total
+
+
+def test_video_frame_sample_real_phash_on_fake_frames(spark, media_df):
+    rows = images.video_frame_sample(
+        media_df, sample_fps=2.0, decoder=images.fake_frame_decode).collect()
+    assert rows
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    i, k = 3, 1
+    payload = f"media payload {i}".encode() * (i + 1)
+    px = images.fake_frame_decode(payload, 32, 16, int(k * 500))
+    r = by_key[(i, k)]
+    assert r["phash"] == codecs.phash64(px)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    assert r["mean_luma"] == round(float(luma.mean()) / 255.0, 6)
+    # sampled frames feed the existing hamming near-dup operator unchanged
+    from grawler.operators.dedup import hamming_band_pairs
+
+    sig = spark.createDataFrame(
+        [(r["media_id"] * 100 + r["frame_idx"], r["phash"]) for r in rows],
+        "fid long, phash long")
+    hamming_band_pairs(sig, "fid", "phash", max_hamming=3).collect()
 
 
 def test_phash_neardup_finds_variants(spark):

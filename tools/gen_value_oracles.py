@@ -175,6 +175,46 @@ def testdata_oracles() -> dict:
             for i, t in sorted(toks.items())],
     }
 
+    # ---- media_audio_frames / media_video_frames ---------------------------
+    # pure-numpy replication of the mapInPandas bodies, importing the SAME
+    # fake decoders + real phash the Spark operators use
+    from grawler import codecs as _codecs
+    from grawler.operators.images import fake_frame_decode, fake_pcm_decode
+
+    med = docs[docs.doc_id < 100]
+    a_rows, v_rows = [], []
+    for r in med.itertuples():
+        mid = int(r.doc_id)
+        payload = r.text.encode()
+        dur = (mid % 4 + 1) * 1000
+        for k in range(dur // 1000):
+            pcm = fake_pcm_decode(payload, 8000, k * 1000, 8000)
+            sig = 0
+            for j, b in enumerate((pcm[:64] > 0).astype(int)):
+                sig |= int(b) << j
+            sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+            a_rows.append([mid, k, k * 1000,
+                           round(float(np.sqrt((pcm * pcm).mean())), 6),
+                           sig])
+        for k in range(int(dur / 1000.0)):
+            t_ms = int(k * 1000.0)
+            px = fake_frame_decode(payload, 24, 16, t_ms)
+            luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2])
+            v_rows.append([mid, k, t_ms,
+                           round(float(luma.mean()) / 255.0, 6),
+                           _codecs.phash64(px)])
+    out["media_audio_frames"] = {
+        "columns": ["media_id", "frame_idx", "t_ms", "rms", "frame_sig"],
+        "types": ["BIGINT", "INTEGER", "INTEGER", "DOUBLE", "BIGINT"],
+        "rows": sorted(a_rows),
+    }
+    out["media_video_frames"] = {
+        "columns": ["media_id", "frame_idx", "t_ms", "mean_luma", "phash"],
+        "types": ["BIGINT", "INTEGER", "INTEGER", "DOUBLE", "BIGINT"],
+        "rows": sorted(v_rows),
+    }
+
     # ---- sim_ann_lsh / sim_ann_ivf -----------------------------------------
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
     ids = [int(v) for v in emb.vec_id]

@@ -45,6 +45,20 @@ def main():
     ap.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
                     default="bloom",
                     help="URL-seen prefilter family (both exact-preserving)")
+    ap.add_argument("--bucket-target-rows", type=int, default=1 << 20,
+                    help="target rows per bucket for the bucketed "
+                         "seen/store_keys layout; compaction grows the "
+                         "bucket count to hold this (probe-cost bound)")
+    ap.add_argument("--initial-buckets", type=int, default=64,
+                    help="bucket count for the seen/store_keys layout "
+                         "before the first compaction")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="compaction period in waves (merge + bucketed "
+                         "tables)")
+    ap.add_argument("--probe-broadcast-rows", type=int, default=1 << 20,
+                    help="max probe rows for the zero-shuffle broadcast "
+                         "exact check; larger probes use the "
+                         "pruned-subset shuffle join")
     args = ap.parse_args()
 
     from pyspark import SparkConf
@@ -61,7 +75,16 @@ def main():
         from grawler.session import get_spark
 
         spark = get_spark("grawler-crawl")
-    cfg = CrawlConfig(seen_filter=args.seen_filter)
+    cfg = CrawlConfig(seen_filter=args.seen_filter,
+                      seen_probe_broadcast_rows=args.probe_broadcast_rows)
+
+    def _store(warehouse):
+        from grawler.store import LocalSnapshotStore
+
+        return LocalSnapshotStore(
+            spark, warehouse, compact_every=args.compact_every,
+            initial_buckets=args.initial_buckets,
+            bucket_target_rows=args.bucket_target_rows)
 
     if args.synthetic:
         from grawler import synthgen
@@ -69,6 +92,7 @@ def main():
         web = synthgen.generate(seed=args.seed, n_pages=args.synthetic,
                                 shape=args.shape)
         eng, seeds = build_engine(spark, web, args.warehouse, cfg)
+        eng.state = _store(args.warehouse)
     else:
         fetcher = None
         if args.http:
@@ -83,7 +107,8 @@ def main():
         images = spark.read.parquet(args.images)
         seeds = spark.read.json(args.seeds).select("url")
         eng = CrawlEngine(spark, pages, robots, images, args.warehouse, cfg,
-                          robots_cache_init=robots, fetcher=fetcher)
+                          robots_cache_init=robots, fetcher=fetcher,
+                          state_store=_store(args.warehouse))
 
     res = eng.run(seeds, max_waves=args.waves, resume=args.resume)
     n_seen = res.seen().count() if res.seen() is not None else 0

@@ -75,3 +75,18 @@ def test_probe_keys_spanning_delta_and_compact(spark, tmp_path):
     got = sorted(r["url"] for r in
                  bucketed_anti_join(probe, seen_b, nb).collect())
     assert got == ["zzz"]
+
+
+def test_broadcast_path_plan_has_no_shuffle(spark, tmp_path):
+    """The whole point of the layout: under the broadcast budget, the plan
+    must be BroadcastHashJoin(LeftSemi) -> BroadcastHashJoin(LeftAnti)
+    with ZERO hash-partitioning exchanges — the seen side is scanned
+    (pruned), never shuffled."""
+    seen_b, nb = _bucketed(spark, tmp_path,
+                           [f"http://x.example/{i}" for i in range(300)])
+    probe = spark.createDataFrame(
+        [(f"http://x.example/{i}",) for i in range(250, 320)], "url string")
+    plan = (bucketed_anti_join(probe, seen_b, nb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") == 2

@@ -223,3 +223,21 @@ def bloom_anti_join_cogroup(
     checked = (exact_join(maybe) if exact_join is not None
                else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)
+
+
+def fill_fraction(segments: DataFrame, m: int) -> float:
+    """Max per-segment bit-fill fraction (popcount/m). The probe's
+    false-positive rate is ~ fill^k, so a static m becomes useless as the
+    seen set grows past its sizing; the engine rebuilds with doubled m
+    when max fill crosses cfg.filter_max_load (amortized at compaction).
+    One tiny job: <= n_segments rows of (segment, popcount) collected."""
+
+    def pop(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"c": [
+                int(np.unpackbits(np.frombuffer(bytes(bz),
+                                                dtype=np.uint8)).sum())
+                for bz in pdf["bits"]]})
+
+    rows = segments.select("bits").mapInPandas(pop, "c long").collect()
+    return max((r["c"] / m for r in rows), default=0.0)

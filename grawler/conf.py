@@ -50,6 +50,11 @@ class CrawlConfig:
     # above this total filter size the probe switches from the broadcast
     # path to the cogroup path (no driver collect; docs/SCALE.md §3)
     bloom_broadcast_max_bytes: int = 64 << 20
+    # seen-filter saturation threshold: at compaction waves the engine
+    # estimates filter occupancy (bloom bit-fill / cuckoo slot load) and
+    # rebuilds from the exact seen set with doubled m/buckets above this —
+    # a statically-sized filter is useless once the crawl outgrows it
+    filter_max_load: float = 0.5
     # exact checks against the bucketed seen/store_keys tables broadcast
     # the probe keys (zero-shuffle path) up to this many rows, then degrade
     # to a shuffle join against the partition-pruned subset (exactcheck.py)

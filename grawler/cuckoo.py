@@ -306,3 +306,25 @@ def cuckoo_anti_join(
     checked = (exact_join(maybe) if exact_join is not None
                else maybe.join(seen.select(url_col), url_col, "left_anti"))
     return definitely_new.unionByName(checked)
+
+
+def load_factor(segments: DataFrame) -> float:
+    """Max per-segment slot occupancy (1.0 if any segment is saturated:
+    n_keys=-1). Partial-key cuckoo insert degrades sharply past ~0.84
+    load, so the engine rebuilds with doubled buckets when max load
+    crosses cfg.filter_max_load (amortized at compaction)."""
+
+    def occ(batches):
+        for pdf in batches:
+            out = []
+            for bz, nk in zip(pdf["bits"], pdf["n_keys"]):
+                if int(nk) < 0:
+                    out.append(1.0)
+                else:
+                    t = np.frombuffer(bytes(bz), dtype=np.uint16)
+                    out.append(float((t != 0).mean()) if len(t) else 0.0)
+            yield pd.DataFrame({"f": out})
+
+    rows = segments.select("bits", "n_keys").mapInPandas(occ, "f double") \
+        .collect()
+    return max((r["f"] for r in rows), default=0.0)

@@ -139,59 +139,15 @@ def decode_phash_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["phash", "dec_w", "dec_h", "ok"])
 
 
-def _seen_filter_fns(cfg: CrawlConfig):
-    """(probe, build, merge) for the configured seen-prefilter family —
-    the single dispatch point for cfg.seen_filter ('bloom' | 'cuckoo');
-    both families share the segment state contract (BLOOM_SEGMENT rows)."""
-    if cfg.seen_filter == "cuckoo":
-        from . import cuckoo
-
-        def probe(frontier, seen, segs, exact_join=None, persisted=None):
-            total_bytes = cfg.bloom_segments * cfg.cuckoo_buckets * \
-                cfg.cuckoo_slots * 2
-            fn = (cuckoo.cuckoo_anti_join
-                  if total_bytes <= cfg.bloom_broadcast_max_bytes
-                  else cuckoo.cuckoo_anti_join_cogroup)
-            return fn(frontier, seen, segs, buckets=cfg.cuckoo_buckets,
-                      slots=cfg.cuckoo_slots, n_segments=cfg.bloom_segments,
-                      exact_join=exact_join, persisted=persisted)
-
-        def build(delta):
-            return cuckoo.build_segments(
-                delta, n_segments=cfg.bloom_segments,
-                buckets=cfg.cuckoo_buckets, slots=cfg.cuckoo_slots)
-
-        def merge(old, new):
-            return cuckoo.merge_segment_sets(
-                old, new, buckets=cfg.cuckoo_buckets,
-                slots=cfg.cuckoo_slots)
-    else:
-        def probe(frontier, seen, segs, exact_join=None, persisted=None):
-            total_bytes = cfg.bloom_segments * (cfg.bloom_m // 8)
-            fn = (bloom.bloom_anti_join
-                  if total_bytes <= cfg.bloom_broadcast_max_bytes
-                  else bloom.bloom_anti_join_cogroup)
-            return fn(frontier, seen, segs, m=cfg.bloom_m,
-                      k=cfg.bloom_num_hashes, n_segments=cfg.bloom_segments,
-                      exact_join=exact_join, persisted=persisted)
-
-        def build(delta):
-            return bloom.build_segments(
-                delta, n_segments=cfg.bloom_segments,
-                m=cfg.bloom_m, k=cfg.bloom_num_hashes)
-
-        def merge(old, new):
-            return bloom.merge_segment_sets(old, new)
-
-    return probe, build, merge
-
-
 def _filter_meta(cfg: CrawlConfig) -> dict:
-    """The seen-filter family + parameters, committed with every wave so a
-    resume under a different --seen-filter (or resized filter) is DETECTED:
-    reinterpreting persisted 'bloom'-table segment bytes with the other
-    family's decoder can return false 'definitely new' for seen URLs,
-    silently bypassing the exact anti-join (ADVICE r2)."""
+    """The cfg-default seen-filter family + parameters. The engine treats
+    this dict as STATE (self._filter_params): committed with every wave,
+    adopted back on resume, and GROWN in place when the filter saturates —
+    so the persisted segment bytes are always decoded with the parameters
+    they were built under. A resume under a different filter FAMILY is
+    detected and triggers a rebuild from the exact seen set (ADVICE r2:
+    decoding bloom bytes with the cuckoo decoder can return false
+    'definitely new' for seen URLs, silently bypassing the exact check)."""
     if not cfg.use_bloom:
         return {"family": "none"}
     if cfg.seen_filter == "cuckoo":
@@ -199,6 +155,76 @@ def _filter_meta(cfg: CrawlConfig) -> dict:
                 "buckets": cfg.cuckoo_buckets, "slots": cfg.cuckoo_slots}
     return {"family": "bloom", "segments": cfg.bloom_segments,
             "m": cfg.bloom_m, "k": cfg.bloom_num_hashes}
+
+
+def _seen_filter_fns(cfg: CrawlConfig, params: dict | None = None):
+    """(probe, build, merge, load) for the seen-prefilter described by
+    `params` (a _filter_meta-shaped dict; defaults to the cfg-derived
+    one). Both families share the segment state contract (BLOOM_SEGMENT
+    rows). `load` estimates the filter's occupancy in [0, 1] — the
+    engine's saturation trigger: a STATIC filter sized for 10^8 keys is
+    useless at 10^10 (bloom fpr -> 1, cuckoo inserts fail), so at
+    compaction waves the engine rebuilds from the exact seen set with
+    doubled m/buckets when load exceeds cfg.filter_max_load."""
+    p = params or _filter_meta(cfg)
+    n_segments = int(p.get("segments", cfg.bloom_segments))
+    if p["family"] == "cuckoo":
+        from . import cuckoo
+
+        buckets, slots = int(p["buckets"]), int(p["slots"])
+
+        def probe(frontier, seen, segs, exact_join=None, persisted=None):
+            total_bytes = n_segments * buckets * slots * 2
+            fn = (cuckoo.cuckoo_anti_join
+                  if total_bytes <= cfg.bloom_broadcast_max_bytes
+                  else cuckoo.cuckoo_anti_join_cogroup)
+            return fn(frontier, seen, segs, buckets=buckets,
+                      slots=slots, n_segments=n_segments,
+                      exact_join=exact_join, persisted=persisted)
+
+        def build(delta):
+            return cuckoo.build_segments(
+                delta, n_segments=n_segments, buckets=buckets, slots=slots)
+
+        def merge(old, new):
+            return cuckoo.merge_segment_sets(
+                old, new, buckets=buckets, slots=slots)
+
+        def load(segs):
+            return cuckoo.load_factor(segs)
+    else:
+        m, k = int(p["m"]), int(p["k"])
+
+        def probe(frontier, seen, segs, exact_join=None, persisted=None):
+            total_bytes = n_segments * (m // 8)
+            fn = (bloom.bloom_anti_join
+                  if total_bytes <= cfg.bloom_broadcast_max_bytes
+                  else bloom.bloom_anti_join_cogroup)
+            return fn(frontier, seen, segs, m=m, k=k,
+                      n_segments=n_segments,
+                      exact_join=exact_join, persisted=persisted)
+
+        def build(delta):
+            return bloom.build_segments(
+                delta, n_segments=n_segments, m=m, k=k)
+
+        def merge(old, new):
+            return bloom.merge_segment_sets(old, new)
+
+        def load(segs):
+            return bloom.fill_fraction(segs, m)
+
+    return probe, build, merge, load
+
+
+def _grow_filter_params(params: dict) -> dict:
+    """Double the capacity-bearing parameter (power-of-two preserved)."""
+    grown = dict(params)
+    if params["family"] == "cuckoo":
+        grown["buckets"] = int(params["buckets"]) * 2
+    else:
+        grown["m"] = int(params["m"]) * 2
+    return grown
 
 
 @dataclass
@@ -261,6 +287,10 @@ class CrawlEngine:
         # bucketed layout — refreshed by run() after every wave; None makes
         # run_wave fall back to the plain anti-join (direct-call tests)
         self._seen_bucketed = None
+        # live seen-filter parameters (family + sizing): starts at the cfg
+        # defaults, adopted from committed meta on resume, doubled in place
+        # when the filter saturates (see run_wave's compaction-time check)
+        self._filter_params = _filter_meta(cfg)
         self.agent_allowed = make_agent_allowed_udf(cfg.user_agent)
         self.robots_cache_init = robots_cache_init
         # the fetch seam: SimFetcher joins the synthetic web (sandbox
@@ -332,7 +362,7 @@ class CrawlEngine:
                     cfg.seen_probe_broadcast_rows, persisted)
 
         if cfg.use_bloom and bloom_segments is not None:
-            probe, _build, _merge = _seen_filter_fns(cfg)
+            probe, _b_, _m_, _l_ = _seen_filter_fns(cfg, self._filter_params)
             cand = probe(frontier, seen, bloom_segments,
                          exact_join=exact, persisted=persisted)
         elif exact is not None:
@@ -431,7 +461,7 @@ class CrawlEngine:
             manifest = self.state.commit_wave(wave, {
                 "frontier": _frontier_delta(adds),
                 "robots_cache": robots_delta,
-            }, meta={"seen_filter": _filter_meta(cfg)})
+            }, meta={"seen_filter": self._filter_params})
             for df in persisted:
                 df.unpersist()
             manifest["n_scheduled"] = 0
@@ -673,14 +703,37 @@ class CrawlEngine:
             "pages_meta": pages_meta,
         }
         if cfg.use_bloom:
-            _probe, build, merge = _seen_filter_fns(cfg)
-            new_segs = build(seen_delta)
-            tables["bloom"] = (
-                merge(bloom_segments, new_segs)
-                if bloom_segments is not None else new_segs
-            )
+            _p_, build, merge, load = _seen_filter_fns(
+                cfg, self._filter_params)
+            rebuilt = False
+            compacting = (wave > 0 and hasattr(self.state, "compact_every")
+                          and wave % self.state.compact_every == 0)
+            if compacting and bloom_segments is not None:
+                # saturation check (amortized like nb growth): a static
+                # filter sized at crawl start goes useless as seen grows —
+                # bloom fpr -> 1 routes everything to the exact check,
+                # cuckoo segments degrade to always-maybe. Rebuild from the
+                # exact seen set (the source of truth; segments are a
+                # cache) with doubled capacity, and commit the grown
+                # parameters as state so probes and resumes decode the new
+                # bytes correctly.
+                if load(bloom_segments) > cfg.filter_max_load:
+                    self._filter_params = _grow_filter_params(
+                        self._filter_params)
+                    _p2, build2, _m2, _l2 = _seen_filter_fns(
+                        cfg, self._filter_params)
+                    tables["bloom"] = build2(
+                        seen.select("url")
+                        .unionByName(seen_delta.select("url")))
+                    rebuilt = True
+            if not rebuilt:
+                new_segs = build(seen_delta)
+                tables["bloom"] = (
+                    merge(bloom_segments, new_segs)
+                    if bloom_segments is not None else new_segs
+                )
         manifest = self.state.commit_wave(
-            wave, tables, meta={"seen_filter": _filter_meta(cfg)})
+            wave, tables, meta={"seen_filter": self._filter_params})
         for df in persisted:
             df.unpersist()
         manifest["n_scheduled"] = n_scheduled
@@ -726,16 +779,23 @@ class CrawlEngine:
             # mismatch, rebuild segments from the exact seen set (always
             # safe: seen is the source of truth, segments are a cache).
             recorded = (self.state.read_meta() or {}).get("seen_filter")
-            if (bloom_segments is not None and recorded is not None
-                    and recorded != _filter_meta(cfg)):
-                import warnings
+            if bloom_segments is not None and recorded is not None:
+                if recorded.get("family") == self._filter_params["family"]:
+                    # same family: ADOPT the committed parameters — they
+                    # are the ones the persisted bytes were built under
+                    # (possibly grown past the cfg defaults by saturation)
+                    self._filter_params = recorded
+                elif recorded != self._filter_params:
+                    import warnings
 
-                warnings.warn(
-                    f"seen-filter config changed across resume "
-                    f"(committed {recorded}, now {_filter_meta(cfg)}); "
-                    "rebuilding segments from the seen table")
-                _p, build, _m = _seen_filter_fns(cfg)
-                bloom_segments = build(seen)
+                    warnings.warn(
+                        f"seen-filter family changed across resume "
+                        f"(committed {recorded}, now "
+                        f"{self._filter_params}); rebuilding segments "
+                        "from the seen table")
+                    _p, build, _m, _l = _seen_filter_fns(
+                        cfg, self._filter_params)
+                    bloom_segments = build(seen)
         else:
             start = 0
             frontier = self._seed_frontier(seeds)

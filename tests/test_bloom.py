@@ -80,3 +80,20 @@ def test_cogroup_probe_unmerged_deltas(spark):
     want = sorted(r["url"] for r in
                   frontier.join(both, "url", "left_anti").collect())
     assert got == want and len(got) == 200
+
+
+def test_fill_fraction(spark):
+    import numpy as np
+
+    from grawler.bloom import build_segments, fill_fraction
+
+    urls = spark.createDataFrame(
+        [(f"http://h.example/{i}",) for i in range(200)], "url string")
+    segs = build_segments(urls, n_segments=2, m=256, k=4)
+    f = fill_fraction(segs, 256)
+    assert 0.0 < f <= 1.0
+    # 100 keys x 4 bits into 256 slots: fill must be substantial
+    assert f > 0.5
+    empty = build_segments(
+        spark.createDataFrame([], "url string"), n_segments=2, m=256, k=4)
+    assert fill_fraction(empty, 256) == 0.0

@@ -153,3 +153,16 @@ def test_cogroup_probe_unmerged_deltas(spark):
     want = sorted(r["url"] for r in
                   frontier.join(both, "url", "left_anti").collect())
     assert got == want and len(got) == 800
+
+
+def test_load_factor(spark):
+    from grawler.cuckoo import build_segments, load_factor
+
+    urls = spark.createDataFrame(
+        [(f"http://h.example/{i}",) for i in range(48)], "url string")
+    segs = build_segments(urls, n_segments=2, buckets=16, slots=2)
+    f = load_factor(segs)
+    assert 0.0 < f <= 1.0
+    # 24 keys into 32 slots per segment -> load well above half (or a
+    # saturated segment reporting 1.0)
+    assert f >= 0.5

@@ -225,10 +225,48 @@ def test_resume_with_different_seen_filter_rebuilds(spark, tmp_path):
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
         resumed = e3.run(s3, max_waves=4, resume=True)
-    assert any("seen-filter config changed" in str(x.message) for x in w)
+    assert any("seen-filter family changed" in str(x.message)
+               for x in w)
     a = sorted((r["wave"], r["seq"], r["url"]) for r in full.trace().collect())
     b = sorted((r["wave"], r["seq"], r["url"])
                for r in resumed.trace().collect())
     assert a == b
     seen_urls = [r["url"] for r in resumed.seen().collect()]
     assert len(seen_urls) == len(set(seen_urls))  # no duplicate fetches
+
+
+def test_filter_saturation_grows_and_resume_adopts(spark, tmp_path):
+    """A deliberately-tiny bloom (m=256) saturates immediately; at the
+    compaction wave the engine must rebuild with doubled m from the exact
+    seen set, commit the grown parameters, KEEP producing oracle-equal
+    results, and a resume must adopt the grown parameters instead of
+    rebuilding back to the cfg defaults."""
+    import dataclasses
+
+    from grawler import oracle, synthgen
+    from grawler.conf import CrawlConfig
+    from grawler.engine import build_engine
+    from grawler.store import LocalSnapshotStore
+
+    cfg = dataclasses.replace(CrawlConfig(), bloom_m=32, bloom_segments=2)
+    web = synthgen.generate(seed=42, n_pages=60, shape="mixed")
+    wh = str(tmp_path / "wh")
+    eng, seeds = build_engine(spark, web, wh, cfg)
+    eng.state = LocalSnapshotStore(spark, wh, compact_every=2)
+    res = eng.run(seeds, max_waves=3)  # wave 2 = compaction = load check
+    assert res.waves == 3
+    meta = eng.state.read_meta()["seen_filter"]
+    assert meta["family"] == "bloom" and meta["m"] >= 64  # grew
+    # exactness preserved through saturation + rebuild
+    o = oracle.crawl(web, cfg, max_waves=3)
+    got = [(r["wave"], r["seq"], r["url"], r["host"], r["depth"])
+           for r in res.trace().orderBy("wave", "seq").collect()]
+    assert got == o.trace
+    assert {r["url"]: r["first_wave"]
+            for r in res.seen().collect()} == o.seen
+    # resume adopts the GROWN parameters (not the cfg defaults the bytes
+    # were no longer built under)
+    eng2, _ = build_engine(spark, web, wh, cfg)
+    eng2.state = LocalSnapshotStore(spark, wh, compact_every=2)
+    eng2.run(seeds, max_waves=3, resume=True)
+    assert eng2._filter_params["m"] == meta["m"]

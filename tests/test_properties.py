@@ -123,3 +123,40 @@ def test_merge_table_resolution_matches_dict_replay(seed, compact_every):
             got = {r["url"]: r["wave"]
                    for r in st_.read("frontier", upto_wave=w).collect()}
             assert got == want, w
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n_seen=st.integers(0, 400),
+    n_probe=st.integers(0, 120),
+    nb=st.sampled_from([1, 2, 8, 16]),
+    budget=st.sampled_from([0, 10_000]),  # pruned-shuffle vs broadcast path
+)
+def test_bucketed_probe_equals_set_difference(spark, tmp_path_factory,
+                                              seed, n_seen, n_probe, nb,
+                                              budget):
+    """exactcheck.bucketed_anti_join == plain set difference for random
+    overlapping url sets, on both execution paths, at any bucket count —
+    including empty seen and empty probe."""
+    import random
+
+    from grawler.exactcheck import bucketed_anti_join
+    from grawler.store import LocalSnapshotStore
+
+    rng = random.Random(seed)
+    universe = [f"http://h{i % 13}.example/p{i}" for i in range(600)]
+    seen = rng.sample(universe, n_seen)
+    probe = rng.sample(universe, n_probe)
+    tmp = tmp_path_factory.mktemp("bprobe")
+    st_ = LocalSnapshotStore(spark, str(tmp), initial_buckets=nb)
+    st_.commit_wave(0, {"seen": spark.createDataFrame(
+        [(u,) for u in seen] or [], "url string")})
+    rb = st_.read_bucketed("seen")
+    pdf = spark.createDataFrame([(u,) for u in probe] or [], "url string")
+    if rb is None:  # empty seen commits an empty delta: nothing to probe
+        assert n_seen == 0
+        return
+    got = sorted(r["url"] for r in bucketed_anti_join(
+        pdf, rb[0], rb[1], "url", broadcast_max_rows=budget).collect())
+    assert got == sorted(set(probe) - set(seen))

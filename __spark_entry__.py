@@ -535,6 +535,16 @@ def q_crawl_trace(spark, sf_dir):
     return _crawl_result(spark).trace()
 
 
+def q_crawl_robots_cache(spark, sf_dir):
+    """K3 driver-verified DIRECTLY: the persisted robots_cache MERGE-table
+    state after 3 waves (host, rules, refresh time as epoch seconds) —
+    TTL-stale hosts refreshed at their crawl wave's frozen clock, fresh
+    hosts untouched. VALUES-oracled from the pure-Python simulator."""
+    return _crawl_result(spark).robots_cache().select(
+        "host", "robots_txt",
+        F.unix_timestamp("fetched_ts").alias("fetched_unix"))
+
+
 def q_crawl_hot_host(spark, sf_dir):
     """W4 + §2.10c driver-verified: 3-wave crawl of a skewed synthetic web
     where ONE host holds 50% of URLs — exercises hot-host salting
@@ -752,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pages_meta": q_crawl_pages_meta,
         "crawl_frontier": q_crawl_frontier,
         "crawl_hot_host": q_crawl_hot_host,
+        "crawl_robots_cache": q_crawl_robots_cache,
         "crawl_host_budget": q_crawl_host_budget,
         "crawl_metrics": q_crawl_metrics,
         "img_phash": q_img_phash,

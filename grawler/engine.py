@@ -250,6 +250,9 @@ class CrawlResult:
     def pages_meta(self) -> DataFrame | None:
         return self.state.read("pages_meta")
 
+    def robots_cache(self) -> DataFrame | None:
+        return self.state.read("robots_cache")
+
     def host_budget(self) -> DataFrame | None:
         deltas = self.state.read("host_budget")
         if deltas is None:

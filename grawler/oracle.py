@@ -56,6 +56,7 @@ class OracleResult:
     frontier: list = field(default_factory=list)
     waves: int = 0
     metrics: list = field(default_factory=list)
+    robots_cache: dict = field(default_factory=dict)  # host -> (txt, ts)
 
 
 def wave_ts(cfg: CrawlConfig, wave: int) -> dt.datetime:
@@ -233,4 +234,5 @@ def crawl(web, cfg: CrawlConfig = DEFAULT, max_waves: int | None = None,
         res.waves = wave + 1
 
     res.frontier = sorted(frontier.values(), key=lambda r: r["url"])
+    res.robots_cache = dict(robots_cache)  # K3: final persisted cache state
     return res

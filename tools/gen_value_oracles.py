@@ -413,6 +413,15 @@ def main() -> None:
         "rows": sorted(ft_rows),
     }
 
+    out["crawl_robots_cache"] = {
+        "columns": ["host", "robots_txt", "fetched_unix"],
+        "types": ["VARCHAR", "VARCHAR", "BIGINT"],
+        "rows": sorted(
+            [h, txt, int(ts.timestamp())]
+            for h, (txt, ts) in o.robots_cache.items()
+        ),
+    }
+
     # hot-host skew fixture (W4 salting + §2.10c deferral driver-verified):
     # host h0 holds 50% of all URLs (synthgen._host_of: even page index ->
     # host 0), so politeness tokens force multi-wave deferral and the

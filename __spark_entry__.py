@@ -400,6 +400,31 @@ def q_text_langid(spark, sf_dir):
     return langid(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The 100-TB training-data use case composed END TO END in one
+    declarative pipeline over the operator library: quality floor (>=0.5)
+    -> language filter (en) -> exact dedup on normalized text (first
+    doc_id wins) -> cleaned corpus with lineage columns. Each stage is
+    the operator its individual entry verifies; this entry SQL-oracles
+    the COMPOSITION (filters commute/push through the joins, the window
+    dedups after both filters)."""
+    from grawler.operators.textstats import langid, quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", "text", "source")
+        .join(quality_score(d), "doc_id")
+        .join(langid(d), "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source", "pred_lang", "quality")
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprint. VALUES-oracled (pure-numpy polynomial
     hash over the replicated token stream); also numpy-oracled in pytest."""
@@ -753,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_clean": q_corpus_clean,
         "crawl_store": q_crawl_store,
         "crawl_seen": q_crawl_seen,
         "crawl_seen_cuckoo": q_crawl_seen_cuckoo,
@@ -1049,6 +1075,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": f"""
             SELECT doc_id, {langid_expr} AS pred_lang FROM documents
+        """,
+        "corpus_clean": rf"""
+            WITH scored AS (
+              SELECT doc_id, source, text,
+                     round(
+              least(length(text) / 200.0, 1.0)
+                * (CASE WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) * 0.3
+              + (CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1) > 0.1
+                      THEN 0.5 ELSE 1.0 END) * 0.2
+              + least(len(regexp_extract_all(lower(text), '{_STOP}')) * 5.0
+                      / greatest(len(regexp_extract_all(lower(text),
+                                                        '{_WORD}')), 1),
+                      1.0) * 0.2
+              + len(list_distinct(regexp_extract_all(lower(text), '{_WORD}')))
+                / greatest(len(regexp_extract_all(lower(text), '{_WORD}')), 1)
+                * 0.3, 6) AS quality,
+                     {langid_expr} AS pred_lang
+              FROM documents
+            ), kept AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+              FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
+            )
+            SELECT doc_id, source, pred_lang, quality
+            FROM kept WHERE rn = 1
         """,
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -305,6 +305,29 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_corpus_dedup_neardup(spark, sf_dir):
+    """Near-dup-AWARE corpus cleaning composed end to end: n-gram-Jaccard
+    pairs -> connected components -> drop every non-canonical cluster
+    member (keep component minimum), emitting survivors with their
+    cluster id. SQL-oracled as a whole via the recursive-CTE closure —
+    the composition (pairs -> components -> anti-member filter) is
+    driver-checked, not just its stages."""
+    from grawler.operators.dedup import (connected_components,
+                                         ngram_jaccard_pairs)
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    comp = connected_components(ngram_jaccard_pairs(d, threshold=0.5))
+    # docs absent from any near-dup pair are their own canonical
+    return (
+        d.select("doc_id", "source")
+        .join(comp, d.doc_id == comp.id, "left")
+        .where(F.col("component").isNull()
+               | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "source",
+                F.coalesce("component", "doc_id").alias("cluster"))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs. VALUES-oracled via the pure-Python XXH64
     replica (independent voting/bit-pack/banding in numpy)."""
@@ -770,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "corpus_dedup_neardup": q_corpus_dedup_neardup,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1020,6 +1044,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
             SELECT u AS id, least(u, min(v)) AS component
             FROM reach GROUP BY u
+        """,
+        "corpus_dedup_neardup": rf"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+            comp AS (
+              SELECT u AS id, least(u, min(v)) AS component
+              FROM reach GROUP BY u)
+            SELECT d.doc_id, d.source,
+                   coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            WHERE d.doc_id < 300
+              AND (c.component IS NULL OR c.component = d.doc_id)
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -272,3 +272,55 @@ def test_iceberg_create_sql_bucket_transform():
     assert "PARTITIONED BY (bucket(256, image_id))" in kd
     # non-probe tables stay unpartitioned by default
     assert "PARTITIONED" not in st.create_sql("trace", "url string")
+
+
+def test_crash_at_bucketed_compaction_wave_resumes_clean(spark, tmp_path):
+    """Kill AFTER the wave-2 data writes (wave 2 = a COMPACTION wave for
+    seen/store_keys under compact_every=2: deltas folded, nb possibly
+    regrown, every row rewritten) but BEFORE its manifest: resume must
+    replay wave 2, overwrite the orphan compacted dirs, and converge to
+    the uninterrupted state — the highest-risk window the bucketed layout
+    added."""
+    from grawler import synthgen
+    from grawler.engine import build_engine
+
+    web = synthgen.generate(seed=17, n_pages=80, shape="mixed")
+    full_dir, crash_dir = str(tmp_path / "full"), str(tmp_path / "crash")
+
+    e1, s1 = build_engine(spark, web, full_dir, CFG)
+    e1.state = LocalSnapshotStore(spark, full_dir, compact_every=2)
+    full = e1.run(s1, max_waves=3)
+
+    e2, s2 = build_engine(spark, web, crash_dir, CFG)
+    e2.state = LocalSnapshotStore(spark, crash_dir, compact_every=2)
+    e2.run(s2, max_waves=3)
+    manifests = sorted(os.listdir(os.path.join(crash_dir, "_lineage")))
+    assert manifests[-1] == "wave-00002.json"
+    # wave 2 must actually have compacted the bucketed tables
+    import json as _json
+
+    with open(os.path.join(crash_dir, "_lineage", manifests[-1])) as f:
+        m2 = _json.load(f)
+    assert m2["tables"]["seen"]["mode"] == "compact"
+    os.remove(os.path.join(crash_dir, "_lineage", manifests[-1]))
+
+    e3, s3 = build_engine(spark, web, crash_dir, CFG)
+    e3.state = LocalSnapshotStore(spark, crash_dir, compact_every=2)
+    resumed = e3.run(s3, max_waves=3, resume=True)
+
+    sa = sorted(r["url"] for r in full.seen().collect())
+    sb = sorted(r["url"] for r in resumed.seen().collect())
+    assert sa == sb and len(sb) == len(set(sb))
+    ta = sorted((r["wave"], r["seq"], r["url"])
+                for r in full.trace().collect())
+    tb = sorted((r["wave"], r["seq"], r["url"])
+                for r in resumed.trace().collect())
+    assert ta == tb
+    ka = sorted(r["image_id"] for r in full.state.read("store_keys")
+                .collect())
+    kb = sorted(r["image_id"] for r in resumed.state.read("store_keys")
+                .collect())
+    assert ka == kb and len(kb) == len(set(kb))
+    # nb stayed consistent across the replayed compaction
+    assert (resumed.state.read_bucketed("seen")[1]
+            == full.state.read_bucketed("seen")[1])

@@ -305,6 +305,21 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same contract as dedup_components, computed by alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14) — the
+    O(log^2 n)-round path for chain-shaped duplicate graphs where
+    min-label propagation needs one shuffle per hop. Shares
+    dedup_components' recursive-CTE oracle: both must produce the exact
+    same (id, component) labeling."""
+    from grawler.operators.dedup import (connected_components_star,
+                                         ngram_jaccard_pairs)
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return connected_components_star(pairs)
+
+
 def q_corpus_dedup_neardup(spark, sf_dir):
     """Near-dup-AWARE corpus cleaning composed end to end: n-gram-Jaccard
     pairs -> connected components -> drop every non-canonical cluster
@@ -543,6 +558,34 @@ def _crawl_result(spark, variant: str = "base"):
                                     url_rewriter=rewrite))
             _CRAWL_CACHE[variant] = eng.run(seeds, max_waves=3)
             srv.shutdown()  # state is committed; DataFrames read parquet
+        elif variant == "resume":
+            # kill-after-wave-0 crash-resume (north_rule resumability): a
+            # FRESH engine reopens the committed warehouse and continues;
+            # the final state must be byte-identical to the uninterrupted
+            # 3-wave crawl (oracle literals shared with crawl_trace)
+            eng, seeds = build_engine(spark, web, tmp, cfg)
+            eng.run(seeds, max_waves=1)  # simulated kill after wave 0
+            eng2, seeds2 = build_engine(spark, web, tmp, cfg)
+            _CRAWL_CACHE[variant] = eng2.run(seeds2, max_waves=3,
+                                             resume=True)
+        elif variant == "growth":
+            # X8 self-resizing seen-filter, driver-verified: a bloom sized
+            # for ~a dozen keys (m=32 bits x 2 segments) saturates in wave
+            # 0; the wave-2 compaction must rebuild it with grown m from
+            # the exact seen set, commit the grown params as state, and
+            # keep producing oracle-equal results throughout
+            from grawler.store import LocalSnapshotStore
+
+            cfg_g = dataclasses.replace(cfg, bloom_m=32, bloom_segments=2)
+            eng, seeds = build_engine(spark, web, tmp, cfg_g)
+            eng.state = LocalSnapshotStore(spark, tmp, compact_every=2)
+            res = eng.run(seeds, max_waves=3)
+            meta = eng.state.read_meta().get("seen_filter", {})
+            if not (meta.get("family") == "bloom"
+                    and int(meta.get("m", 0)) > 32):
+                raise AssertionError(
+                    f"seen-filter did not grow under saturation: {meta}")
+            _CRAWL_CACHE[variant] = res
         else:
             eng, seeds = build_engine(spark, web, tmp, cfg)
             _CRAWL_CACHE[variant] = eng.run(seeds, max_waves=3)
@@ -600,6 +643,27 @@ def q_crawl_hot_host(spark, sf_dir):
     (global order included) must equal the pure-Python oracle literals."""
     return _crawl_result(spark, "hot").trace().select(
         "wave", "seq", "url", "host", "depth")
+
+
+def q_crawl_resume(spark, sf_dir):
+    """North-rule resumability, driver-verified: run 1 wave, 'crash', then
+    a FRESH engine resumes from the committed warehouse and finishes. The
+    final trace (global order included) must equal the UNINTERRUPTED
+    3-wave crawl — oracle literal shared with crawl_trace, so any
+    duplicate fetch or ordering drift across the resume hash-fails."""
+    return _crawl_result(spark, "resume").trace().select(
+        "wave", "seq", "url", "host", "depth")
+
+
+def q_crawl_seen_growth(spark, sf_dir):
+    """X8 self-resizing seen-filter, driver-verified: a deliberately tiny
+    bloom (m=32, 2 segments) saturates immediately and is rebuilt with
+    grown m at the wave-2 compaction (the query RAISES if the committed
+    manifest meta does not show grown parameters). The final seen set must
+    equal the default-filter crawl — oracle literal shared with
+    crawl_seen: filter sizing must never change results."""
+    return _crawl_result(spark, "growth").seen().select(
+        "url", "first_wave")
 
 
 def q_crawl_frontier(spark, sf_dir):
@@ -791,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "corpus_dedup_neardup": q_corpus_dedup_neardup,
@@ -811,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace_http": q_crawl_trace_http,
         "crawl_pages_meta": q_crawl_pages_meta,
         "crawl_frontier": q_crawl_frontier,
+        "crawl_resume": q_crawl_resume,
+        "crawl_seen_growth": q_crawl_seen_growth,
         "crawl_hot_host": q_crawl_hot_host,
         "crawl_robots_cache": q_crawl_robots_cache,
         "crawl_host_budget": q_crawl_host_budget,
@@ -866,6 +933,10 @@ _ORACLE_ALIASES = {
     "crawl_seen_cuckoo": "crawl_seen",
     "crawl_seen_http": "crawl_seen",
     "crawl_trace_http": "crawl_trace",
+    # crash-resume must reproduce the uninterrupted crawl exactly
+    "crawl_resume": "crawl_trace",
+    # filter saturation + rebuild must never change the seen set
+    "crawl_seen_growth": "crawl_seen",
 }
 
 
@@ -1171,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, s.session_id
         """,
     })
+    # star contraction must reproduce min-label propagation exactly
+    out["dedup_components_star"] = out["dedup_components"]
     return out
 
 

@@ -29,6 +29,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FRONTIER_ROWS = int(os.environ.get("GRAWLER_BENCH_FRONTIER", "1000000"))
 IMG_ROWS = int(os.environ.get("GRAWLER_BENCH_IMAGES", "12000"))
+# best-of-N with recorded spread: the r3 verdict found a single-shot bench
+# swinging +75% on an unchanged query on this shared box — a one-sample
+# artifact cannot gate anything. min is the capability number (matches
+# clean-box runs); median+spread expose the noise the artifact absorbed.
+REPEATS = int(os.environ.get("GRAWLER_BENCH_REPEATS", "3"))
+
+
+def timed_best(fn, repeats: int = REPEATS) -> dict:
+    """Run fn() -> wall-sec `repeats` times; report min/median/spread."""
+    import statistics
+
+    samples = sorted(fn() for _ in range(max(1, repeats)))
+    return {
+        "min": round(samples[0], 3),
+        "median": round(statistics.median(samples), 3),
+        "spread_pct": round(
+            100.0 * (samples[-1] - samples[0]) / samples[0], 1)
+        if samples[0] > 0 else 0.0,
+    }
 
 
 def synth_frontier(spark, n: int):
@@ -83,8 +102,8 @@ def bench_frontier(spark, warmup: bool = True) -> tuple[float, float]:
     if warmup:  # absorb JVM codegen + python-worker startup once; full size
         # so AQE picks the same physical plans as the timed pass
         one_pass(FRONTIER_ROWS)
-    dt = one_pass(FRONTIER_ROWS)
-    return dt, FRONTIER_ROWS / dt
+    stats = timed_best(lambda: one_pass(FRONTIER_ROWS))
+    return stats, FRONTIER_ROWS / stats["min"]
 
 
 def bench_frontier_split(spark) -> dict:
@@ -143,7 +162,7 @@ def bench_ann_d512(spark, n: int = 20_000, dim: int = 512,
     import numpy as np
     import pandas as pd
 
-    from grawler.operators.similarity import ann_lsh_topk
+    from grawler.operators.similarity import ann_lsh_topk, cosine_topk
 
     rng = np.random.default_rng(17)
     n_clusters = 200
@@ -159,12 +178,26 @@ def bench_ann_d512(spark, n: int = 20_000, dim: int = 512,
     df = spark.createDataFrame(pdf).repartition(32).persist()
     df.count()
     q = df.where(F.col("vec_id") < n_queries)
-    t0 = time.time()
-    ann_lsh_topk(df, q, dim=dim, k=5, bits=10, tables=8).write.format(
-        "noop").mode("overwrite").save()
-    dt = time.time() - t0
+
+    def one_pass() -> float:
+        t0 = time.time()
+        ann_lsh_topk(df, q, dim=dim, k=5, bits=10, tables=8).write.format(
+            "noop").mode("overwrite").save()
+        return time.time() - t0
+
+    stats = timed_best(one_pass)
+    # recall@k vs brute force at the same dim/seeds: a recall regression
+    # (e.g. a broken bucket key) must surface in the artifact, not only in
+    # the pytest fixed-seed gate
+    k = 5
+    ann = {(r["query_id"], r["neighbor_id"])
+           for r in ann_lsh_topk(df, q, dim=dim, k=k, bits=10,
+                                 tables=8).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, q, k=k).collect()}
+    recall = round(len(ann & exact) / max(1, len(exact)), 4)
     df.unpersist()
-    return dt
+    return stats, recall
 
 
 def bench_store(spark) -> tuple[float, float]:
@@ -193,9 +226,9 @@ def bench_store(spark) -> tuple[float, float]:
         return time.time() - t0, n
 
     one_pass()  # warm python workers
-    dt, n = one_pass()
+    stats = timed_best(lambda: one_pass()[0])
     df.unpersist()
-    return dt, n / dt
+    return stats, IMG_ROWS / stats["min"]
 
 
 def synth_pages_distributed(spark, n: int, n_images: int = 1000):
@@ -271,23 +304,25 @@ def bench_wave(spark, n: int = 100_000, repeats: int = 2) -> tuple[float, float]
 
     pages, robots, images, seeds = synth_pages_distributed(spark, n)
     cfg = CrawlConfig(wave_cap=n, wave_duration_ms=700 * n)  # no cap binds
-    best = None
-    for _ in range(max(1, repeats)):
+    engines = []
+
+    def one_pass() -> float:
         wh = tempfile.mkdtemp(prefix="grawler_bench_wave_")
         try:
             eng = CrawlEngine(spark, pages, robots, images, wh, cfg,
                               robots_cache_init=robots)
+            engines.append(eng)
             t0 = time.time()
             eng.run(seeds, max_waves=1)
-            dt = time.time() - t0
+            return time.time() - t0
         finally:
             shutil.rmtree(wh, ignore_errors=True)
             eng.images.unpersist()
-        if best is None or dt < best:
-            best = dt
-    eng.fetcher.pages.unpersist()
-    eng.fetcher.robots_truth.unpersist()
-    return best, n / best
+
+    stats = timed_best(one_pass, repeats)
+    engines[-1].fetcher.pages.unpersist()
+    engines[-1].fetcher.robots_truth.unpersist()
+    return stats, n / stats["min"]
 
 
 def main():
@@ -299,6 +334,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+
+    def record(name: str, st: dict) -> None:
+        timings[name] = st["min"]
+        stats[name] = st
+
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
         import __spark_entry__ as entry
 
@@ -309,26 +350,34 @@ def main():
             "sim_cosine_topk", "text_quality", "text_langid",
         ]
         for name in headline:
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            q = qs[name]
+
+            def one_pass(q=q):
+                t0 = time.time()
+                q(spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+                return time.time() - t0
+
+            one_pass()  # warm (python workers / codegen / file listing)
+            record(name, timed_best(one_pass))
 
     split = None
     if os.environ.get("GRAWLER_BENCH_SPLIT"):
         split = bench_frontier_split(spark)
 
-    f_dt, f_rate = bench_frontier(spark)
-    timings["crawl_frontier_1m"] = round(f_dt, 3)
-    s_dt, s_rate = bench_store(spark)
-    timings["img_store_decode"] = round(s_dt, 3)
+    f_st, f_rate = bench_frontier(spark)
+    record("crawl_frontier_1m", f_st)
+    s_st, s_rate = bench_store(spark)
+    record("img_store_decode", s_st)
+    recall = None
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
-        timings["sim_ann_lsh_d512_20k"] = round(bench_ann_d512(spark), 3)
+        a_st, recall = bench_ann_d512(spark)
+        record("sim_ann_lsh_d512_20k", a_st)
     w_rate = None
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
-        w_dt, w_rate = bench_wave(
+        w_st, w_rate = bench_wave(
             spark, int(os.environ.get("GRAWLER_BENCH_WAVE", "100000")))
-        timings["crawl_full_wave_100k"] = round(w_dt, 3)
+        record("crawl_full_wave_100k", w_st)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -336,10 +385,15 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": {k: v["median"] for k, v in stats.items()},
+        "queries_spread_pct": {k: v["spread_pct"]
+                               for k, v in stats.items()},
+        "repeats": REPEATS,
         "sf": sf,
         "frontier_urls_per_sec": round(f_rate),
         "store_rows_per_sec": round(s_rate),
         "full_wave_urls_per_sec": round(w_rate) if w_rate else None,
+        "ann_recall_at_5": recall,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     if split:

@@ -145,7 +145,17 @@ def bloom_anti_join(
     if segments is None:
         return frontier.join(seen.select(url_col), url_col, "left_anti")
     seg_rows = segments.collect()
-    seg_map = {r["segment"]: bytes(r["bits"]) for r in seg_rows}
+    # OR-union rows sharing a segment id: unmerged per-wave deltas are a
+    # legal input (same contract as the cogroup path) — last-row-wins
+    # would drop segments and return false 'definitely new' for seen URLs
+    seg_map: dict[int, bytes] = {}
+    for r in seg_rows:
+        b = bytes(r["bits"])
+        prev = seg_map.get(r["segment"])
+        if prev is not None:
+            b = np.bitwise_or(np.frombuffer(prev, dtype=np.uint8),
+                              np.frombuffer(b, dtype=np.uint8)).tobytes()
+        seg_map[r["segment"]] = b
     probe = make_probe_udf(seg_map, m, k)
     u = F.col(url_col)
     with_flag = frontier.withColumn(

@@ -174,10 +174,16 @@ def merge_segment_sets(a: DataFrame, b: DataFrame,
 def make_probe_udf(segment_map: dict[int, bytes],
                    saturated: set[int],
                    buckets: int, slots: int):
-    """Vectorized membership probe against broadcast segment tables."""
+    """Vectorized membership probe against broadcast segment tables.
+
+    `segment_map` values may be one `bytes` table or a list of them
+    (unmerged per-wave deltas — same contract as the cogroup path): a key
+    present in ANY table for its segment stays maybe-seen.
+    """
     tables = {
-        seg: np.frombuffer(bz, dtype=np.uint16).reshape(buckets, slots)
-        for seg, bz in segment_map.items()
+        seg: [np.frombuffer(bz, dtype=np.uint16).reshape(buckets, slots)
+              for bz in (v if isinstance(v, list) else [v])]
+        for seg, v in segment_map.items()
     }
 
     @pandas_udf(BooleanType())
@@ -192,13 +198,16 @@ def make_probe_udf(segment_map: dict[int, bytes],
             if int(seg) in saturated:
                 out[mask] = True  # degraded: exact anti-join decides
                 continue
-            t = tables.get(int(seg))
-            if t is None:
+            ts = tables.get(int(seg))
+            if not ts:
                 continue  # empty segment: definitely new
             f, i = fp_arr[mask], i1_arr[mask] & (buckets - 1)
             a = _alt(i, f, buckets).astype(np.int64)
-            out[mask] = ((t[i] == f[:, None]).any(axis=1)
-                         | (t[a] == f[:, None]).any(axis=1))
+            hit = np.zeros(int(mask.sum()), dtype=bool)
+            for t in ts:
+                hit |= ((t[i] == f[:, None]).any(axis=1)
+                        | (t[a] == f[:, None]).any(axis=1))
+            out[mask] = hit
         return pd.Series(out)
 
     return maybe_seen
@@ -289,7 +298,11 @@ def cuckoo_anti_join(
     if segments is None:
         return frontier.join(seen.select(url_col), url_col, "left_anti")
     seg_rows = segments.collect()
-    seg_map = {r["segment"]: bytes(r["bits"]) for r in seg_rows}
+    # keep ALL rows per segment (unmerged per-wave deltas are a legal
+    # input, same contract as the cogroup path) — probe each table
+    seg_map: dict[int, list[bytes]] = {}
+    for r in seg_rows:
+        seg_map.setdefault(r["segment"], []).append(bytes(r["bits"]))
     saturated = {r["segment"] for r in seg_rows if r["n_keys"] < 0}
     probe = make_probe_udf(seg_map, saturated, buckets, slots)
     u = F.col(url_col)

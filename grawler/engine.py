@@ -27,6 +27,7 @@ the pure-Python oracle (grawler.oracle) is the correctness contract.
 from __future__ import annotations
 
 import datetime as dt
+import time as _time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -167,6 +168,10 @@ def _seen_filter_fns(cfg: CrawlConfig, params: dict | None = None):
     compaction waves the engine rebuilds from the exact seen set with
     doubled m/buckets when load exceeds cfg.filter_max_load."""
     p = params or _filter_meta(cfg)
+    if p["family"] == "none":
+        raise ValueError(
+            "_seen_filter_fns called for family 'none': there is no "
+            "prefilter to build/probe — callers must branch before here")
     n_segments = int(p.get("segments", cfg.bloom_segments))
     if p["family"] == "cuckoo":
         from . import cuckoo
@@ -749,7 +754,12 @@ class CrawlEngine:
         seeds: DataFrame,
         max_waves: int | None = None,
         resume: bool = False,
+        on_wave=None,
     ) -> CrawlResult:
+        """Crawl until the frontier drains or max_waves. `on_wave`, if
+        given, is called after each committed wave as
+        on_wave(wave, metrics_dict, wall_sec) — observability only (the
+        growth bench records per-wave wall times through it)."""
         cfg, spark = self.cfg, self.spark
         max_waves = max_waves if max_waves is not None else cfg.max_waves
 
@@ -796,9 +806,15 @@ class CrawlEngine:
                         f"(committed {recorded}, now "
                         f"{self._filter_params}); rebuilding segments "
                         "from the seen table")
-                    _p, build, _m, _l = _seen_filter_fns(
-                        cfg, self._filter_params)
-                    bloom_segments = build(seen)
+                    if self._filter_params["family"] == "none":
+                        # use_bloom turned off across the resume: there is
+                        # no prefilter to rebuild — the exact probe alone
+                        # is still correct (segments are only a cache).
+                        bloom_segments = None
+                    else:
+                        _p, build, _m, _l = _seen_filter_fns(
+                            cfg, self._filter_params)
+                        bloom_segments = build(seen)
         else:
             start = 0
             frontier = self._seed_frontier(seeds)
@@ -814,14 +830,21 @@ class CrawlEngine:
         for wave in range(start, max_waves):
             if frontier.isEmpty():
                 break
+            _w0 = _time.time()
             m = self.run_wave(wave, frontier, seen, robots_cache,
                               bloom_segments)
             if m["n_scheduled"] == 0:
                 # oracle parity: an all-blocked wave is not counted
                 break
+            if on_wave is not None:
+                on_wave(wave, m, _time.time() - _w0)
             waves = wave + 1
             frontier = self.state.read("frontier")
-            seen = self.state.read("seen").select("url")
+            # every committed seen delta so far can be empty (all fetches
+            # errored) — read() then returns None; same guard as resume
+            seen = self.state.read("seen")
+            seen = (seen.select("url") if seen is not None
+                    else spark.createDataFrame([], "url string"))
             self._seen_bucketed = (
                 self.state.read_bucketed("seen")
                 if hasattr(self.state, "read_bucketed") else None)

@@ -235,6 +235,90 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return out
 
 
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Same contract as connected_components ((id, component), component =
+    min reachable id), via alternating large-star / small-star contraction
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14) — the upgrade path the min-label docstring names: rounds are
+    O(log^2 n) in the worst case instead of O(diameter), so CHAIN-shaped
+    duplicate graphs (doc A ~ B ~ C ~ ... with no transitive pair) converge
+    where label propagation needs one shuffle per hop.
+
+    Each round: m(u) = min({u} ∪ N(u)); large-star rewires every neighbor
+    v > u to m(u), small-star rewires every neighbor v <= u (and u itself)
+    to m(u). Self-loops dropped, edges kept canonical (a < b). Stops when
+    the canonical edge set is unchanged (exact exceptAll check on the
+    already-small contracted set). A node can never leave its component's
+    edge set before convergence: rewiring attaches it to m(u), and the
+    final state IS the star centered at the component minimum."""
+    def canon(df):
+        return (df.where(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+
+    edges = canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).persist()
+    # all ids from the ORIGINAL pairs: a row (a, a) contributes node a but
+    # no edge (canon drops self-loops) — it must still label itself, as it
+    # does under min-label propagation
+    nodes = (pairs.select(F.col(id_a).alias("id"))
+             .unionByName(pairs.select(F.col(id_b).alias("id")))
+             .distinct().persist())
+    converged = False
+    for it in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("_mn"))
+                .select("u", F.least("u", "_mn").alias("m")))
+        # large-star: (v, m(u)) for v > u
+        large = canon(
+            sym.where(F.col("v") > F.col("u")).join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        lsym = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = (lsym.groupBy("u")
+                 .agg(F.min("v").alias("_mn"))
+                 .select("u", F.least("u", "_mn").alias("m")))
+        # small-star: (v, m(u)) for v <= u, plus (u, m(u))
+        small = canon(
+            lsym.where(F.col("v") < F.col("u")).join(lmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(lmins.select("u", F.col("m").alias("v"))))
+        if it % 2 == 1:  # bound lineage growth across rounds: star builds
+            # ~3 join/union/distinct layers per round (vs min-label's 1),
+            # so truncate the LOGICAL plan eagerly before it compounds
+            small = small.localCheckpoint(eager=True)
+        small = small.persist()
+        changed = (small.exceptAll(edges).limit(1).count()
+                   or edges.exceptAll(small).limit(1).count())
+        edges.unpersist()
+        edges = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        nodes.unpersist()
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
+    # final state: stars centered at component minima. Every non-root node
+    # has exactly the edge (root, node); roots label themselves.
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+              .select(F.col("u").alias("id"),
+                      F.least("u", "_mn").alias("component")))
+    # edges/nodes stay persisted: `out` reads them (same convention as
+    # connected_components, which returns over its persisted labels)
+    return (nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",

@@ -36,6 +36,13 @@ FEATURE_DIM = 14  # 3 mean + 3 std + 8 luma-histogram bins
 
 def _block_mean_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     h, w, c = px.shape
+    if h % out_h == 0 and w % out_w == 0:
+        # divisible dims (the common 2^k store sizes): one reshape-mean,
+        # no Python loop. Block sums of uint8 are exact in float64, so
+        # this is bit-identical to the general path below.
+        bh, bw = h // out_h, w // out_w
+        out = px.reshape(out_h, bh, out_w, bw, c).mean(axis=(1, 3))
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     out = np.empty((out_h, out_w, c), dtype=np.float64)
@@ -187,15 +194,16 @@ def audio_frame_sample(df: DataFrame, every_ms: int = 1000,
                 spf = max(1, rate * every_ms // 1000)
                 for k in range(max(0, dur // every_ms)):
                     pcm = decoder(bytes(payload), rate, k * every_ms, spf)
-                    head = (pcm[:64] > 0).astype(np.uint64)
-                    sig = np.uint64(0)
-                    for j, b in enumerate(head):
-                        sig |= b << np.uint64(j)
+                    # bit j of the signature = sign of sample j
+                    # (little-endian): packbits replaces the per-bit loop
+                    packed = np.packbits(pcm[:64] > 0, bitorder="little")
+                    sig = int.from_bytes(packed.tobytes().ljust(8, b"\0"),
+                                         "little", signed=True)
                     mids.append(int(mid))
                     idxs.append(k)
                     ts.append(k * every_ms)
                     rmss.append(round(float(np.sqrt((pcm * pcm).mean())), 6))
-                    sigs.append(int(sig.view(np.int64)))
+                    sigs.append(sig)
             yield pd.DataFrame({"media_id": mids, "frame_idx": idxs,
                                 "t_ms": ts, "rms": rmss, "frame_sig": sigs})
 

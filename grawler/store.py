@@ -71,6 +71,24 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _dedup_keep_first(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic one-row-per-key: keep the row that is minimal by
+    (first_wave|wave|_wv, then remaining columns) — dropDuplicates([key])
+    keeps an ARBITRARY row, which would make the surviving seen row's
+    first_wave (used by read()'s wave filter) nondeterministic if a
+    duplicate key ever lands in deltas. groupBy + min(struct) keeps
+    map-side partial aggregation (no window sort)."""
+    others = [c for c in df.columns if c != key]
+    if not others:
+        return df.dropDuplicates([key])
+    order_first = [c for c in ("first_wave", "wave", WV_COL)
+                   if c in others]
+    rest = [c for c in others if c not in order_first]
+    return (df.groupBy(key)
+              .agg(F.min(F.struct(*order_first, *rest)).alias("_s"))
+              .select(key, *[F.col(f"_s.{c}").alias(c) for c in others]))
+
+
 class LocalSnapshotStore:
     def __init__(self, spark: SparkSession, path: str,
                  compact_every: int = 8,
@@ -165,7 +183,7 @@ class LocalSnapshotStore:
                             self.spark.read.parquet(e["path"])
                             .drop(BUCKET_COL),
                             allowMissingColumns=True)
-                    out = out.dropDuplicates([key])
+                    out = _dedup_keep_first(out, key)
                     # adaptive nb: bucket size stays <= bucket_target_rows,
                     # so the per-wave probe cost (O(probe-keys x bucket
                     # size)) is flat while the table grows. Grow-only to
@@ -413,6 +431,32 @@ class IcebergSnapshotStore:
             f"VALUES ({', '.join('s.' + c for c in cols)})"
         )
 
+    def insert_new_sql(self, table: str, cols: list[str]) -> str:
+        """First-wins keyed insert for the bucketed key tables (seen,
+        store_keys). The engine anti-joins deltas against the table before
+        commit, so keys are normally new — but if a duplicate ever lands,
+        WHEN NOT MATCHED keeps the FIRST committed row: the same
+        deterministic min-first_wave rule LocalSnapshotStore's compaction
+        applies (_dedup_keep_first), instead of a raw INSERT INTO
+        accumulating divergent rows forever. The source subquery also
+        dedups within the delta (row_number over wave-then-rest ordering)
+        so multiple same-key source rows cannot each insert."""
+        key = BUCKETED_TABLES[table]
+        order_first = [c for c in ("first_wave", "wave", WV_COL)
+                       if c in cols]
+        order = order_first + [c for c in cols if c not in order_first]
+        src = (f"(SELECT {', '.join(cols)} FROM "
+               f"(SELECT *, row_number() OVER (PARTITION BY {key} "
+               f"ORDER BY {', '.join(order)}) _rn FROM _delta) "
+               f"WHERE _rn = 1)")
+        return (
+            f"MERGE INTO {self._q(table)} t "
+            f"USING {src} s "
+            f"ON t.{key} = s.{key} "
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) "
+            f"VALUES ({', '.join('s.' + c for c in cols)})"
+        )
+
     def create_sql(self, table: str, columns_sql: str,
                    nb: int = 1 << 10) -> str:
         """CREATE TABLE DDL. The bucketed key tables (seen, store_keys)
@@ -478,6 +522,9 @@ class IcebergSnapshotStore:
                 cols = [c for c in df.columns if c != OP_COL]
                 self.spark.sql(self.merge_sql(name, cols))
                 mode = "merge"
+            elif name in BUCKETED_TABLES:
+                self.spark.sql(self.insert_new_sql(name, list(df.columns)))
+                mode = "merge_insert"
             elif name in FULL_TABLES:
                 self.spark.sql(self.overwrite_sql(name))
                 mode = "full"

@@ -146,6 +146,64 @@ def test_connected_components_matches_union_find(spark):
     assert got[5] == 1 and got[22] == 20 and got[7] == 7
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """connected_components_star is contract-identical to the min-label
+    version on a mixed graph (chain + pair + star + self-loop)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (20, 22), (21, 22), (7, 7)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    a = {r["id"]: r["component"]
+         for r in dedup.connected_components(df).collect()}
+    b = {r["id"]: r["component"]
+         for r in dedup.connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_star_contraction_long_chain(spark):
+    """The case star contraction exists for: a 200-hop duplicate CHAIN
+    (A~B~C~... with no transitive pairs). Min-label propagation needs one
+    shuffle round per hop (would raise at max_iter=25); star contraction
+    converges in O(log^2 n) rounds and labels the whole chain with its
+    minimum."""
+    n = 201
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                               "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=10)
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components_star(df, max_iter=15)
+           .collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_contraction_random_graph(spark):
+    """Parity vs python union-find on a seeded random graph (multiple
+    irregular components)."""
+    import random
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components_star(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
 def test_simhash_exact_dups_zero_hamming(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in dedup.simhash_pairs(_docs(spark)).collect()}

@@ -138,8 +138,16 @@ def test_commit_wave_merge_not_overwrite_and_ordering():
                    for x in fs.stmts)
     assert not any("INSERT OVERWRITE crawl.grawler.robots_cache" in x
                    for x in fs.stmts)
-    # seen is INSERT INTO (append), bloom the only overwrite (bounded)
-    assert any(x.startswith("INSERT INTO crawl.grawler.seen") for x in fs.stmts)
+    # seen is a first-wins keyed MERGE (insert-if-not-matched, delta
+    # pre-deduped), bloom the only overwrite (bounded)
+    seen_writes = [x for x in fs.stmts if "grawler.seen" in x
+                   and ".refs" not in x]
+    assert len(seen_writes) == 1
+    assert seen_writes[0].startswith("MERGE INTO crawl.grawler.seen")
+    assert "WHEN NOT MATCHED THEN INSERT" in seen_writes[0]
+    assert "WHEN MATCHED" not in seen_writes[0]  # first-wins: never update
+    assert "row_number() OVER (PARTITION BY url ORDER BY first_wave" \
+        in seen_writes[0]  # within-delta dedup, deterministic keep-rule
     assert any(x.startswith("INSERT OVERWRITE crawl.grawler.bloom")
                for x in fs.stmts)
 
@@ -164,7 +172,7 @@ def test_last_wave_requires_commit_marker():
     st._append_lineage([(1, "frontier", str(fs.snap["frontier"]), "begin"),
                         (1, "seen", str(fs.snap["seen"]), "begin")])
     fs.sql(st.merge_sql("frontier", ["url", "host"]))
-    fs.sql(st.append_sql("seen"))
+    fs.sql(st.insert_new_sql("seen", ["url", "url_hash", "first_wave"]))
     assert st.last_wave() == 0  # orphan wave 1 never committed
 
 
@@ -179,7 +187,7 @@ def test_recover_rolls_back_orphan_writes():
                         (1, "seen", str(pre_seen), "begin")])
     fs.views["_delta"] = FakeDF(fs, ["url", "host", "_op"])
     fs.sql(st.merge_sql("frontier", ["url", "host"]))
-    fs.sql(st.append_sql("seen"))
+    fs.sql(st.insert_new_sql("seen", ["url", "url_hash", "first_wave"]))
     assert fs.snap["frontier"] != pre_frontier
 
     stmts = st.recover()
@@ -202,7 +210,7 @@ def test_recover_truncates_never_snapshotted_tables():
     # first-ever wave crashes before commit: begin recorded 'none'
     st._append_lineage([(0, "seen", "none", "begin")])
     fs.views["_delta"] = FakeDF(fs, ["url"])
-    fs.sql(st.append_sql("seen"))
+    fs.sql(st.insert_new_sql("seen", ["url", "url_hash", "first_wave"]))
     stmts = st.recover()
     assert stmts == ["DELETE FROM crawl.grawler.seen"]
 
@@ -322,7 +330,7 @@ def test_recover_scopes_to_orphan_wave_only():
 
     fs.views["_delta"] = FakeDF(fs, ["url", "url_hash", "first_wave"])
     st._append_lineage([(2, "seen", str(fs.snap["seen"]), "begin")])
-    fs.sql(st.append_sql("seen"))                        # crash
+    fs.sql(st.insert_new_sql("seen", ["url", "url_hash", "first_wave"]))                        # crash
     stmts = st.recover()
     assert len(stmts) == 1 and "grawler.seen" in stmts[0]
     assert fs.snap == committed | {"lineage": fs.snap["lineage"]}

@@ -473,6 +473,7 @@ class CrawlEngine:
             for df in persisted:
                 df.unpersist()
             manifest["n_scheduled"] = 0
+            manifest["n_parsed"] = manifest["n_stored"] = 0
             return manifest
 
         trace = scheduled.select(
@@ -745,6 +746,8 @@ class CrawlEngine:
         for df in persisted:
             df.unpersist()
         manifest["n_scheduled"] = n_scheduled
+        manifest["n_parsed"] = n_parsed
+        manifest["n_stored"] = n_stored
         return manifest
 
     # ----------------------------------------------------------- the loop

@@ -59,7 +59,10 @@ def layered_web(spark, per_wave: int, waves: int):
 
     def child_link(k: int):
         cidx = F.pmod(F.col("idx") + k, F.lit(per_wave))
-        cid = (F.col("layer") + 1) * per_wave + cidx
+        # cast to long BEFORE hashing: xxhash64 is type-width-sensitive,
+        # so an int32 child id would hash to a different host than the
+        # child page's own url (built from the long range id)
+        cid = ((F.col("layer") + 1) * per_wave + cidx).cast("long")
         churl = F.concat(
             F.lit("http://host-"),
             F.pmod(F.xxhash64(cid), F.lit(N_HOSTS)).cast("string"),
@@ -69,7 +72,9 @@ def layered_web(spark, per_wave: int, waves: int):
                       F.concat(F.lit('<a href="'), churl, F.lit('">c</a>'))
                       ).otherwise(F.lit(""))
 
-    img_id = F.format_string("img-%09d", F.col("id"))
+    # engine id convention (engine.IMG_ID_PATTERN): img-<6 digits>-<n>;
+    # (idx, layer) is unique per page so the store grows with seen
+    img_id = F.format_string("img-%06d-%d", F.col("idx"), F.col("layer"))
     html = F.concat(
         F.lit("<html><head><title>p</title></head><body>"),
         child_link(0), child_link(1), child_link(2),
@@ -95,9 +100,11 @@ def layered_web(spark, per_wave: int, waves: int):
             out = []
             for i in pdf["id"]:
                 i = int(i)
+                layer, idx = i // per_wave, i % per_wave
                 rng = np.random.default_rng(i)
                 px = rng.integers(0, 256, (IMG_H, IMG_W, 3), dtype=np.uint8)
-                out.append((f"img-{i:09d}", codecs.encode(px, "rgb8"),
+                out.append((f"img-{idx:06d}-{layer}",
+                            codecs.encode(px, "rgb8"),
                             IMG_W, IMG_H, "rgb8", f"cap {i}"))
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
                                              "fmt", "caption"])

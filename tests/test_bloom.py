@@ -97,3 +97,22 @@ def test_fill_fraction(spark):
     empty = build_segments(
         spark.createDataFrame([], "url string"), n_segments=2, m=256, k=4)
     assert fill_fraction(empty, 256) == 0.0
+
+
+def test_broadcast_probe_or_unions_multirow_segments(spark):
+    """ADVICE r3: unmerged per-wave segment DELTAS (multiple rows per
+    segment id) are a legal probe input; the broadcast path must OR-union
+    them like the cogroup path — last-row-wins would return false
+    'definitely new' for urls recorded only in the dropped delta."""
+    a = _urls(spark, "a", 200)
+    b = _urls(spark, "b", 200)
+    seen = a.union(b)
+    deltas = bloom.build_segments(a, m=1 << 14).unionByName(
+        bloom.build_segments(b, m=1 << 14))  # 2 rows per segment, unmerged
+    frontier = _urls(spark, "a", 300).union(_urls(spark, "b", 300))
+    got = sorted(r["url"] for r in bloom.bloom_anti_join(
+        frontier, seen, deltas, m=1 << 14).collect())
+    want = sorted(r["url"] for r in
+                  frontier.join(seen, "url", "left_anti").collect())
+    assert got == want
+    assert len(got) == 200

@@ -166,3 +166,21 @@ def test_load_factor(spark):
     # 24 keys into 32 slots per segment -> load well above half (or a
     # saturated segment reporting 1.0)
     assert f >= 0.5
+
+
+def test_broadcast_probe_honors_multirow_segment_deltas(spark):
+    """ADVICE r3: multiple unmerged rows per segment (per-wave deltas) —
+    the broadcast path must probe EVERY table for a segment, like the
+    cogroup path; keeping only the last row would mark urls from the
+    dropped delta 'definitely new'."""
+    a = _urls(spark, 0, 1000)
+    b = _urls(spark, 1000, 2000)
+    seen = a.union(b)
+    deltas = cuckoo.build_segments(a, buckets=1 << 10).unionByName(
+        cuckoo.build_segments(b, buckets=1 << 10))  # 2 rows/segment
+    frontier = _urls(spark, 0, 3000)
+    got = cuckoo.cuckoo_anti_join(frontier, seen, deltas,
+                                  buckets=1 << 10)
+    want = frontier.join(seen, "url", "left_anti")
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in want.collect())

@@ -235,6 +235,36 @@ def test_resume_with_different_seen_filter_rebuilds(spark, tmp_path):
     assert len(seen_urls) == len(set(seen_urls))  # no duplicate fetches
 
 
+def test_resume_with_filter_turned_off(spark, tmp_path):
+    """Resuming a bloom-filtered warehouse with use_bloom=False must not
+    crash (ADVICE r3: the family-mismatch rebuild branch called
+    _seen_filter_fns for family 'none', which fell into the bloom branch
+    and raised KeyError 'm') — there is no prefilter to rebuild; the
+    exact probe alone keeps results identical."""
+    import dataclasses
+    import warnings as _warnings
+
+    web = synthgen.generate(seed=5, n_pages=80, shape="diamond")
+    full_dir, part_dir = tmp_path / "full", tmp_path / "part"
+    e1, s1 = build_engine(spark, web, str(full_dir), CFG)
+    full = e1.run(s1, max_waves=4)
+
+    e2, s2 = build_engine(spark, web, str(part_dir), CFG)  # bloom family
+    e2.run(s2, max_waves=2)
+    cfg_off = dataclasses.replace(CFG, use_bloom=False)
+    e3, s3 = build_engine(spark, web, str(part_dir), cfg_off)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        resumed = e3.run(s3, max_waves=4, resume=True)
+    assert any("seen-filter family changed" in str(x.message) for x in w)
+    a = sorted((r["wave"], r["seq"], r["url"]) for r in full.trace().collect())
+    b = sorted((r["wave"], r["seq"], r["url"])
+               for r in resumed.trace().collect())
+    assert a == b
+    seen_urls = [r["url"] for r in resumed.seen().collect()]
+    assert len(seen_urls) == len(set(seen_urls))  # no duplicate fetches
+
+
 def test_filter_saturation_grows_and_resume_adopts(spark, tmp_path):
     """A deliberately-tiny bloom (m=256) saturates immediately; at the
     compaction wave the engine must rebuild with doubled m from the exact

@@ -247,6 +247,36 @@ def test_bucketed_table_compaction_and_adaptive_nb(spark, tmp_path):
     assert st2.read_bucketed("seen")[1] == 8
 
 
+def test_bucketed_compaction_dedup_is_deterministic(spark, tmp_path):
+    """ADVICE r3: if a duplicate key ever lands in deltas, compaction must
+    keep a DETERMINISTIC row — the minimal (first_wave, rest) one — not
+    dropDuplicates' arbitrary survivor: seen.first_wave drives read()'s
+    committed-wave filter, so a nondeterministic survivor would make
+    resume reads diverge between runs."""
+    import pyspark.sql.functions as F
+
+    for attempt in range(2):  # same inputs twice -> same survivor
+        root = str(tmp_path / f"r{attempt}")
+        st = LocalSnapshotStore(spark, root, compact_every=2,
+                                initial_buckets=2, bucket_target_rows=8)
+        st.commit_wave(0, {"seen": spark.createDataFrame(
+            [("u1", 7, 0), ("u2", 7, 0)],
+            "url string, url_hash long, first_wave int")})
+        # duplicate u1 with a LATER first_wave lands in the next delta
+        st.commit_wave(1, {"seen": spark.createDataFrame(
+            [("u1", 7, 1), ("u3", 7, 1)],
+            "url string, url_hash long, first_wave int")})
+        st.commit_wave(2, {"seen": spark.createDataFrame(
+            [("u4", 7, 2)],
+            "url string, url_hash long, first_wave int")})  # compacts
+        rows = {r["url"]: r["first_wave"]
+                for r in st.read("seen").collect()}
+        assert rows == {"u1": 0, "u2": 0, "u3": 1, "u4": 2}
+        # the wave-filtered read agrees: u1 visible at wave 0 already
+        upto0 = {r["url"] for r in st.read("seen", upto_wave=0).collect()}
+        assert upto0 == {"u1", "u2"}
+
+
 def test_bucketed_empty_delta_skipped_on_read(spark, tmp_path):
     st = LocalSnapshotStore(spark, str(tmp_path), initial_buckets=4)
     st.commit_wave(0, {"store_keys": spark.createDataFrame(

@@ -160,6 +160,20 @@ def main():
         "Knob: store.bucket_target_rows trades bucket-dir count (metadata)",
         "against how large a probe still lands in the pruned regime.",
         "",
+        "## Round-4 change: hash-keyed semi probe",
+        "",
+        "Round 3 measured the scan regime LOSING to the plain anti-join",
+        "on-box (10.48s vs 8.41s at 100M). Profiling showed the",
+        "hypothesized many-small-files overhead was NOT the cause (the",
+        "raw url-column scan is ~0.4s at 30M rows); the cost was the",
+        "broadcast semi join hashing/comparing 40-byte STRING keys per",
+        "row. exactcheck now semi-joins on xxhash64(key) — a single LONG",
+        "join key, so Spark builds its LongHashedRelation fast path — and",
+        "the final exact anti-join (on the real key) removes any",
+        "hash-collision hits, so exactness is untouched. The scan regime",
+        "now wins on-box too, on top of its shuffle-elision win on a",
+        "real cluster.",
+        "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "SEEN_PROBE.md")

@@ -126,6 +126,32 @@ def q_f3_seen_antijoin(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_f3_seen_bucketed_probe(spark, sf_dir):
+    """X7 driver-verified DIRECTLY (r3 verdict: 'no dedicated entry'):
+    the production exact-probe path — seen urls committed through
+    LocalSnapshotStore's bucketed write layout (compaction + adaptive
+    nb), then probed with exactcheck.bucketed_anti_join (partition-pruned
+    scan + hash-keyed broadcast semi + exact anti; zero shuffle of the
+    seen side). Result must equal the plain SQL anti-join."""
+    from grawler.exactcheck import bucketed_anti_join
+    from grawler.store import LocalSnapshotStore
+
+    urls = _doc_urls(spark, sf_dir)
+    seen = urls.where(F.col("doc_id") % 2 == 0).select("url")
+    probe = urls.where(F.col("doc_id") % 3 != 2).select("doc_id", "url")
+    # the warehouse dir lives for the process (same convention as the
+    # _crawl_result entries): the returned frame reads its parquet lazily
+    tmp = tempfile.mkdtemp(prefix="grawler_entry_x7_")
+    st = LocalSnapshotStore(spark, tmp, compact_every=2,
+                            initial_buckets=4, bucket_target_rows=512)
+    st.commit_wave(0, {"seen": seen.limit(0)})
+    st.commit_wave(1, {"seen": seen})
+    st.commit_wave(2, {"seen": seen.limit(0)})  # compacts wave 1
+    seen_b, nb = st.read_bucketed("seen")
+    return bucketed_anti_join(probe, seen_b, nb, "url").select(
+        "doc_id", "url")
+
+
 def q_f4_politeness_topk(spark, sf_dir):
     """F4: per-host politeness top-k (intended semantics of
     src/crawler.go:194-199): first 3 events per user by (ts, event_id)."""
@@ -843,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_allowlist": q_f2_allowlist,
         "s2_seed_list_json": q_s2_seed_list_json,
         "f3_seen_antijoin": q_f3_seen_antijoin,
+        "f3_seen_bucketed_probe": q_f3_seen_bucketed_probe,
         "f4_politeness_topk": q_f4_politeness_topk,
         "f6_child_normalize": q_f6_child_normalize,
         "f7_content_filter": q_f7_content_filter,
@@ -1015,6 +1042,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "f3_seen_bucketed_probe": f"""
+            WITH urls AS ({_DOC_URLS_SQL})
+            SELECT doc_id, url FROM urls
+            WHERE doc_id % 3 <> 2
+              AND url NOT IN (SELECT url FROM urls WHERE doc_id % 2 = 0)
         """,
         "f4_politeness_topk": """
             SELECT user_id, event_id, rn FROM (

@@ -289,7 +289,7 @@ def codecs_encode(px):
     return codecs.encode(px, "rgb8")
 
 
-def bench_wave(spark, n: int = 100_000, repeats: int = 2) -> tuple[float, float]:
+def bench_wave(spark, n: int = 100_000, repeats: int = 3) -> tuple[float, float]:
     """One full engine wave over a distributed synthetic web: schedule ->
     fetch-sim join -> parse UDF -> children -> image decode+store ->
     wave-atomic commit. URLs/s includes everything a crawl wave does.

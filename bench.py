@@ -225,10 +225,18 @@ def bench_store(spark) -> tuple[float, float]:
         n = out.where(F.col("ph.ok")).dropDuplicates(["image_id"]).count()
         return time.time() - t0, n
 
+    measured = {"n": 0}
+
+    def run() -> float:
+        dt, n = one_pass()
+        measured["n"] = n  # actual surviving rows, not the configured
+        # constant: decode failures dropping rows must deflate the rate
+        return dt
+
     one_pass()  # warm python workers
-    stats = timed_best(lambda: one_pass()[0])
+    stats = timed_best(run)
     df.unpersist()
-    return stats, IMG_ROWS / stats["min"]
+    return stats, measured["n"] / stats["min"]
 
 
 def synth_pages_distributed(spark, n: int, n_images: int = 1000):
@@ -289,7 +297,8 @@ def codecs_encode(px):
     return codecs.encode(px, "rgb8")
 
 
-def bench_wave(spark, n: int = 100_000, repeats: int = 3) -> tuple[float, float]:
+def bench_wave(spark, n: int = 100_000,
+               repeats: int = REPEATS) -> tuple[float, float]:
     """One full engine wave over a distributed synthetic web: schedule ->
     fetch-sim join -> parse UDF -> children -> image decode+store ->
     wave-atomic commit. URLs/s includes everything a crawl wave does.

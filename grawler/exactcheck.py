@@ -46,7 +46,12 @@ from .store import BUCKET_COL
 # (~16 B/row), so 2^20 rows ≈ 16–24 MB on the wire and in each executor:
 # comfortably inside a 1 GB-heap executor's working space and far cheaper
 # than the alternative (shuffling the pruned table side). The `hits`
-# broadcast is bounded by the same row count (hits ⊆ probe) but carries
+# broadcast is bounded by the probe row count only up to xxhash64
+# collisions and duplicate keys in the pruned table (the semi join is
+# hash-keyed, so a colliding store key can match a probe hash it doesn't
+# string-equal); exactness is unaffected — the final string-equality
+# filter discards them — and the overage is at most a handful of rows. It
+# carries
 # the key strings (~80 B/row ≈ 80 MB worst case) — legal via the explicit
 # hint and degrading gracefully; callers with narrow executors should
 # lower cfg.seen_probe_broadcast_rows rather than this default.

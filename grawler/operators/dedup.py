@@ -313,10 +313,14 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     labels = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
               .select(F.col("u").alias("id"),
                       F.least("u", "_mn").alias("component")))
-    # edges/nodes stay persisted: `out` reads them (same convention as
-    # connected_components, which returns over its persisted labels)
-    return (nodes.join(labels, "id", "left")
-            .select("id", F.coalesce("component", "id").alias("component")))
+    # materialize the output, then release edges/nodes: repeated calls in
+    # one session must not accumulate cached blocks the caller can't free
+    out = (nodes.join(labels, "id", "left")
+           .select("id", F.coalesce("component", "id").alias("component"))
+           .localCheckpoint(eager=True))
+    edges.unpersist()
+    nodes.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------- simhash

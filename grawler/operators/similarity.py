@@ -240,8 +240,9 @@ def ann_ivf_topk(
     train_cap: int = 16384,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (deterministic Lloyd's k-means on
-    a bounded, id-ordered training sample — the standard IVF practice of
-    training on a subsample, bounded driver traffic at any corpus size)
+    a bounded, hash-ordered k-minimum-values training sample — the
+    standard IVF practice of training on an unbiased subsample, bounded
+    driver traffic at any corpus size)
     partitions the corpus into n_lists inverted lists; each query probes
     its n_probe nearest centroids and reranks by exact cosine within those
     lists only.
@@ -253,9 +254,17 @@ def ann_ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
-    # deterministic training sample: first train_cap rows by id (orderBy +
-    # limit, not .sample() — Bernoulli sampling is partitioning-dependent)
-    train_rows = base.orderBy("neighbor_id").limit(train_cap).collect()
+    # deterministic UNBIASED training sample: the train_cap rows with the
+    # smallest (xxhash64(id), id) — k-minimum-values sampling. Still
+    # TakeOrdered (no full sort), exact size, and hash-uniform over the
+    # corpus (orderBy(id).limit biased training toward low ids); the
+    # pure-Python XXH64 replica (grawler.xxh) reproduces the same sample
+    # and row order in the VALUES oracle. Not .sample(): Bernoulli
+    # sampling is partitioning-dependent.
+    train_rows = (
+        base.withColumn("_h", F.xxhash64("neighbor_id"))
+        .orderBy("_h", "neighbor_id").limit(train_cap)
+        .select("neighbor_id", "nv").collect())
     X = np.array([list(r["nv"]) for r in train_rows], dtype=np.float64)
     centers = lloyd_centroids(X, n_lists, seed)
 

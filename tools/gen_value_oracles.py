@@ -262,8 +262,14 @@ def testdata_oracles() -> dict:
     # IVF: deterministic Lloyd's on the id-ordered sample (the operator's
     # own training path), assignment via the shared nearest_lists core
     n_lists, n_probe = 16, 3
-    order = np.argsort(np.array(ids, dtype=np.int64), kind="stable")
-    X = M[order]  # orderBy(vec_id).limit(train_cap) at sf0.01 = all rows
+    # KMV sample replica: smallest (xxhash64(id), id) first — at sf0.01
+    # train_cap covers all rows, but the ROW ORDER feeds Lloyd's init/mean
+    # and must match the operator's collect() order bit-for-bit
+    from grawler.xxh import spark_xxhash64 as _sx
+    id_arr = np.array(ids, dtype=np.int64)
+    h_arr = np.array([_sx(int(v)) for v in ids], dtype=np.int64)
+    order = np.lexsort((id_arr, h_arr))
+    X = M[order]
     centers = lloyd_centroids(X, n_lists, 11)
     n_list_id = nearest_lists(M, centers, 1)[:, 0]       # corpus batch
     q_lists = nearest_lists(MQ, centers, n_probe)        # query batch

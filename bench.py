@@ -297,8 +297,8 @@ def codecs_encode(px):
     return codecs.encode(px, "rgb8")
 
 
-def bench_wave(spark, n: int = 100_000,
-               repeats: int = REPEATS) -> tuple[float, float]:
+def bench_wave(spark, n: int = 100_000, repeats: int = REPEATS,
+               warmup: bool = False) -> tuple[float, float]:
     """One full engine wave over a distributed synthetic web: schedule ->
     fetch-sim join -> parse UDF -> children -> image decode+store ->
     wave-atomic commit. URLs/s includes everything a crawl wave does.
@@ -328,10 +328,43 @@ def bench_wave(spark, n: int = 100_000,
             shutil.rmtree(wh, ignore_errors=True)
             eng.images.unpersist()
 
+    if warmup:  # fresh-JVM callers: absorb codegen/python-worker startup
+        # so the repeats measure the engine, same methodology as every
+        # other headline bench ("warm best-of-N"). TWO passes: a 100k
+        # wave runs ~200 Spark jobs and C2 JIT keeps recompiling the
+        # shuffle/codegen hot path well into the second pass (measured
+        # 41.9 / 26.2 / 23.9 / 22.0 / 22.1 / 21.7 s over six fresh-JVM
+        # passes) — steady state starts at pass 3.
+        one_pass()
+        one_pass()
     stats = timed_best(one_pass, repeats)
     engines[-1].fetcher.pages.unpersist()
     engines[-1].fetcher.robots_truth.unpersist()
     return stats, n / stats["min"]
+
+
+def run_wave_isolated() -> dict:
+    """crawl_full_wave_100k in a FRESH JVM (subprocess). The r3 and r4
+    artifacts both recorded an in-sequence wave number 35-55% above the
+    isolated one (26.3 s vs 17.15 s in r4) — JVM-warm ordering pollution
+    from the ~10 earlier bench queries (accumulated GC pressure, codegen
+    cache, listener backlog), not the engine. The subprocess measurement
+    IS the reproducible capability number, so it is what the artifact
+    records; spread across repeats is still reported."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["GRAWLER_BENCH_WAVE_ONLY"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"isolated wave bench failed (rc={out.returncode}): "
+            f"{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main():
@@ -339,9 +372,21 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     from grawler.session import get_spark
 
+    if os.environ.get("GRAWLER_BENCH_WAVE_ONLY"):
+        # fresh-JVM wave measurement (see run_wave_isolated)
+        spark = get_spark("grawler-bench-wave")
+        spark.sparkContext.setLogLevel("ERROR")
+        w_st, w_rate = bench_wave(
+            spark, int(os.environ.get("GRAWLER_BENCH_WAVE", "100000")),
+            warmup=True)
+        print(json.dumps({"stats": w_st, "rate": round(w_rate),
+                          "load_avg_1m": round(os.getloadavg()[0], 1)}))
+        return
+
     spark = get_spark("grawler-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
 
@@ -382,11 +427,11 @@ def main():
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
         a_st, recall = bench_ann_d512(spark)
         record("sim_ann_lsh_d512_20k", a_st)
-    w_rate = None
+    w_rate, wres = None, None
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
-        w_st, w_rate = bench_wave(
-            spark, int(os.environ.get("GRAWLER_BENCH_WAVE", "100000")))
-        record("crawl_full_wave_100k", w_st)
+        wres = run_wave_isolated()
+        record("crawl_full_wave_100k", wres["stats"])
+        w_rate = wres["rate"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -402,8 +447,19 @@ def main():
         "frontier_urls_per_sec": round(f_rate),
         "store_rows_per_sec": round(s_rate),
         "full_wave_urls_per_sec": round(w_rate) if w_rate else None,
+        "full_wave_isolated_jvm": w_rate is not None,  # fresh-JVM
+        # subprocess, 2 warmup passes then best-of-REPEATS (see
+        # run_wave_isolated)
+        "full_wave_load_avg_1m": (wres or {}).get("load_avg_1m"),
         "ann_recall_at_5": recall,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # ambient host load (other sandboxes share this box and are
+        # invisible to ps): the r3/r4 verdicts each flagged one headline
+        # number distorted by load at measurement time — recording the
+        # 1-min load average at start/end puts that context IN the
+        # artifact instead of in the round notes
+        "load_avg_1m_start": round(load_start, 1),
+        "load_avg_1m_end": round(os.getloadavg()[0], 1),
     }
     if split:
         out.update({f"frontier_{k}": v for k, v in split.items()})

@@ -137,29 +137,51 @@ def main() -> None:
         # enough politeness tokens that the layer's ~per_wave/N_HOSTS
         # fetches per host never defer (deferral would hide growth)
         wave_duration_ms=700 * (4 * per_wave // N_HOSTS + 8),
+        # deliberately UNDERSIZED bloom (64 segments x 2^14 bits = 1.05M
+        # bits, k=4 -> 0.5 fill at ~180k seen): the crawl OUTGROWS the
+        # filter mid-run, so the saturation-triggered rebuild path (double
+        # m, rebuild from the exact seen set at a compaction wave) fires
+        # under measurement instead of only in pytest
+        bloom_m=1 << 14,
     )
     wh = tempfile.mkdtemp(prefix="grawler_growth_")
     rows: list[dict] = []
     try:
         eng = CrawlEngine(spark, pages, robots, images, wh, cfg,
                           robots_cache_init=robots)
+        # deliberately small initial buckets/target so the adaptive nb
+        # layout must double at least twice mid-crawl (bucket size stays
+        # <= target as seen/store grow 12x)
         eng.state = LocalSnapshotStore(spark, wh,
-                                       compact_every=compact_every)
+                                       compact_every=compact_every,
+                                       initial_buckets=4,
+                                       bucket_target_rows=1 << 16)
         seen_total = store_total = 0
+        prev = {"m": cfg.bloom_m, "nb": 4}
 
         def on_wave(w, m, wall):
             nonlocal seen_total, store_total
             seen_total += m["n_parsed"]
             store_total += m.get("n_stored", 0)
+            cur_m = int(eng._filter_params.get("m", 0))
+            cur_nb = eng.state._current_nb("seen")
+            events = []
+            if cur_m != prev["m"]:
+                events.append(f"filter rebuild m {prev['m']}->{cur_m}")
+            if cur_nb != prev["nb"]:
+                events.append(f"nb {prev['nb']}->{cur_nb}")
+            prev["m"], prev["nb"] = cur_m, cur_nb
             rows.append({
                 "wave": w, "wall": wall,
                 "scheduled": m["n_scheduled"], "seen": seen_total,
                 "store": store_total,
                 "compact": w > 0 and w % compact_every == 0,
+                "m": cur_m, "nb": cur_nb, "events": events,
             })
+            note = ("compaction " if rows[-1]["compact"] else "") + \
+                "; ".join(events)
             print(f"wave {w:>2}: {wall:6.1f}s scheduled={m['n_scheduled']:>7,} "
-                  f"seen={seen_total:>9,} store={store_total:>9,}"
-                  f"{'  [compaction]' if rows[-1]['compact'] else ''}",
+                  f"seen={seen_total:>9,} store={store_total:>9,}  {note}",
                   flush=True)
 
         t0 = time.time()
@@ -168,12 +190,23 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
-    # gate: per-wave wall flat. wave 0 is warmup (codegen + python worker
-    # spin-up) so the ratio compares the FIRST POST-WARMUP delta wave to
-    # the LAST delta wave; compaction waves are annotated, not compared.
+    import statistics
+
+    # gates: per-wave wall flat. wave 0 is warmup (codegen + python worker
+    # spin-up); compaction waves are annotated, not compared. Two
+    # statistics: the endpoint ratio (first post-warmup delta wave vs
+    # last), and — robust to the 10-45% same-box noise floor the r4 bench
+    # recorded — the MEDIAN of the first 3 vs the last 3 delta waves.
     delta = [r for r in rows[1:] if not r["compact"]]
     ratio = (delta[-1]["wall"] / delta[0]["wall"]) if len(delta) >= 2 else 1.0
+    med_first = statistics.median(r["wall"] for r in delta[:3])
+    med_last = statistics.median(r["wall"] for r in delta[-3:])
+    med_ratio = med_last / med_first if med_first else 1.0
     growth = rows[-1]["seen"] / max(1, rows[0]["seen"])
+    rebuilds = [r["wave"] for r in rows
+                if any(e.startswith("filter rebuild") for e in r["events"])]
+    nb_growths = [r["wave"] for r in rows
+                  if any(e.startswith("nb") for e in r["events"])]
 
     md = [
         "# Composed growth crawl: wave cost vs growing state",
@@ -185,35 +218,60 @@ def main() -> None:
         f"parents -> ~3x dedup pressure; every page stores a unique image).",
         f"local[32], compact_every={compact_every}. Total {total:.0f}s.",
         "",
-        "| wave | wall (s) | scheduled | seen total | store total | note |",
-        "|---|---|---|---|---|---|",
+        f"The bloom filter starts deliberately UNDERSIZED (m=2^14 bits x",
+        f"{cfg.bloom_segments} segments, 0.5 fill at ~180k seen) and the",
+        f"bucketed tables start at nb=4 with a 65,536-row bucket target, so",
+        f"the self-resizing machinery must fire MID-CRAWL under",
+        f"measurement: saturation-triggered filter rebuilds (double m,",
+        f"rebuild from exact seen) and nb doublings (bounded bucket size)",
+        f"both land at compaction waves and are annotated below.",
+        "",
+        "| wave | wall (s) | scheduled | seen total | store total "
+        "| bloom m | nb | note |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        note = ("compaction" if r["compact"] else "")
+        if r["events"]:
+            note += (": " if note else "") + "; ".join(r["events"])
         md.append(
             f"| {r['wave']} | {r['wall']:.1f} | {r['scheduled']:,} "
             f"| {r['seen']:,} | {r['store']:,} "
-            f"| {'compaction' if r['compact'] else ''} |")
+            f"| 2^{r['m'].bit_length() - 1} | {r['nb']} | {note} |")
     md += [
         "",
         f"State growth first->last wave: **{growth:.1f}x** "
         f"(seen {rows[0]['seen']:,} -> {rows[-1]['seen']:,}).",
-        f"Delta-wave wall ratio (first post-warmup -> last, compaction",
-        f"waves excluded): **{ratio:.2f}x** (gate <= 1.3x).",
+        f"Delta-wave wall ratio, endpoint (first post-warmup -> last,",
+        f"compaction waves excluded): **{ratio:.2f}x** (gate <= 1.3x).",
+        f"Delta-wave wall ratio, median of first 3 vs last 3 delta waves:",
+        f"**{med_ratio:.2f}x** ({med_first:.1f}s -> {med_last:.1f}s; robust",
+        f"to the 10-45% single-wave noise floor recorded in BENCH_r04).",
+        "",
+        f"Filter rebuilds fired at waves {rebuilds or 'NONE'}; nb growth at",
+        f"waves {nb_growths or 'NONE'} (final nb ="
+        f" {rows[-1]['nb']}, final m = 2^{rows[-1]['m'].bit_length() - 1}).",
         "",
         "Wave 0 includes JVM codegen + python-worker warmup. Compaction",
         "waves additionally rewrite the bucketed seen/store_keys tables",
         "and resolve the frontier MERGE log — an amortized O(total-state)",
         "cost paid every "
-        f"{compact_every} waves by design (BENCH/COMMIT_COST.md).",
+        f"{compact_every} waves by design (BENCH/COMMIT_COST.md); a",
+        "filter rebuild adds one scan of the exact seen set at the same",
+        "amortization point.",
         "",
-        f"Verdict: wave cost {'FLAT' if ratio <= 1.3 else 'NOT FLAT'} "
-        f"while seen grew {growth:.0f}x with all engine machinery composed.",
+        f"Verdict: wave cost {'FLAT' if med_ratio <= 1.3 else 'NOT FLAT'} "
+        f"(median statistic) while seen grew {growth:.0f}x with all engine "
+        f"machinery composed, including "
+        f"{len(rebuilds)} mid-crawl filter rebuild(s) and "
+        f"{len(nb_growths)} nb growth event(s).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "CRAWL_GROWTH.md")
     with open(out, "w") as f:
         f.write("\n".join(md) + "\n")
-    print(f"wrote {out}; ratio={ratio:.2f} growth={growth:.1f}x")
+    print(f"wrote {out}; ratio={ratio:.2f} med_ratio={med_ratio:.2f} "
+          f"growth={growth:.1f}x rebuilds={rebuilds} nb_growth={nb_growths}")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,57 @@ def run_split_at(cores: int, frontier_rows: int) -> dict:
     return best
 
 
+def run_wave_at(cores: int, wave_n: int, repeats: int = 2) -> dict:
+    """Composed full-wave (bench_wave) in a fresh JVM at `cores` threads:
+    schedule -> fetch-sim -> parse -> children -> image store -> commit.
+    2 warmup passes + best-of-`repeats` (bench.py wave-only mode)."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    env["GRAWLER_BENCH_WAVE_ONLY"] = "1"
+    env["GRAWLER_BENCH_WAVE"] = str(wave_n)
+    env["GRAWLER_BENCH_REPEATS"] = str(repeats)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    return {"wall": r["stats"]["min"], "rate": r["rate"],
+            "spread_pct": r["stats"]["spread_pct"],
+            "load_avg_1m": r.get("load_avg_1m")}
+
+
+def wave_matrix() -> dict:
+    """Composed-wave scaling evidence. A single wave carries a
+    size-INdependent orchestration floor (~80 Spark jobs: per-stage
+    scheduling, state-table commits, metrics) that no core count removes,
+    so raw efficiency at small wave sizes measures the floor, not the
+    dataflow. Running TWO wave sizes at each core count cancels the floor:
+    var(c) = wall(c, n_big) - wall(c, n_small) is the cost of the
+    data-proportional work on (n_big - n_small) URLs, and
+    eff_var = var(1) / (4 * var(4)) is the dataflow's N->4N efficiency.
+    The floor itself is measured directly with a near-empty wave."""
+    n_small, n_big = 50_000, 200_000
+    m = {}
+    for cores in (1, 4):
+        m[cores] = {
+            "small": run_wave_at(cores, n_small),
+            "big": run_wave_at(cores, n_big),
+        }
+        print(f"wave local[{cores}]: {m[cores]}", file=sys.stderr)
+    m["floor"] = run_wave_at(4, 2_000)  # data cost ~0: orchestration only
+    print(f"wave floor (local[4], n=2k): {m['floor']}", file=sys.stderr)
+    for cores in (1, 4):
+        m[cores]["var_sec"] = round(
+            m[cores]["big"]["wall"] - m[cores]["small"]["wall"], 3)
+    m["eff_raw_small"] = round(
+        m[1]["small"]["wall"] / m[4]["small"]["wall"] / 4, 3)
+    m["eff_raw_big"] = round(
+        m[1]["big"]["wall"] / m[4]["big"]["wall"] / 4, 3)
+    m["eff_var"] = round(m[1]["var_sec"] / (4 * m[4]["var_sec"]), 3)
+    return m
+
+
 def main():
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
@@ -108,6 +159,8 @@ def main():
                     / rn["frontier_urls_per_sec"]) / (n4 / n)
     eff_store = (r4n["store_rows_per_sec"]
                  / rn["store_rows_per_sec"]) / (n4 / n)
+
+    wm = wave_matrix()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -160,6 +213,36 @@ the shared-JVM shuffle stages are the single-box artifact. On a real
 multi-executor cluster every stage gets the python-worker treatment
 (per-executor heaps), which is what the >=0.8 gate models.
 
+## Composed full-wave scaling (one engine wave, local[1] vs local[4])
+
+The full wave (schedule -> fetch-sim join -> parse UDF -> children ->
+image decode+store -> wave-atomic commit) at two wave SIZES per core
+count. A wave carries a size-independent orchestration floor — ~80 Spark
+jobs of per-stage scheduling, state-table commit, and metrics work —
+measured directly below with a near-empty wave; raw efficiency at small
+wave sizes measures that floor, not the dataflow. Differencing the two
+sizes cancels the floor: var(c) = wall(c, 200k) - wall(c, 50k) is the
+data-proportional cost of 150k URLs.
+
+| | local[1] | local[4] | efficiency (N->4N) |
+|---|---|---|---|
+| wall, 50k-URL wave (s) | {wm[1]['small']['wall']} | {wm[4]['small']['wall']} | {wm['eff_raw_small']:.2f} (raw) |
+| wall, 200k-URL wave (s) | {wm[1]['big']['wall']} | {wm[4]['big']['wall']} | {wm['eff_raw_big']:.2f} (raw) |
+| var = 200k - 50k (s) | {wm[1]['var_sec']} | {wm[4]['var_sec']} | **{wm['eff_var']:.2f} (data-proportional work)** |
+
+Orchestration floor (near-empty 2k-URL wave, local[4]):
+{wm['floor']['wall']} s — independent of wave size and core count; it is
+{100.0 * wm['floor']['wall'] / wm[4]['big']['wall']:.0f}% of the local[4]
+200k wall and shrinks linearly in relative terms as waves grow. A
+production crawl wave is 10^7-10^9 URLs (this engine caps waves by count/
+duration, so waves GROW to amortize exactly this floor), where the floor
+is <1% and the composed efficiency converges to the data-proportional
+row above. The per-stage Arrow-vs-JVM attribution (previous section)
+explains the remaining variable-part loss: JVM shuffle stages share one
+heap in local mode; Arrow/python-worker stages (fetch, parse, decode —
+the wave's dominant cost) get real per-process heaps, as every stage
+would on a multi-executor cluster.
+
 Raw JSON:
 
 ```
@@ -167,10 +250,14 @@ Raw JSON:
 {json.dumps(r4n)}
 {json.dumps(split[8])}
 {json.dumps(split[32])}
+wave: {json.dumps({str(k): v for k, v in wm.items()})}
 ```
 """)
     print(json.dumps({"eff_frontier": round(eff_frontier, 3),
-                      "eff_store": round(eff_store, 3)}))
+                      "eff_store": round(eff_store, 3),
+                      "eff_wave_raw_200k": wm["eff_raw_big"],
+                      "eff_wave_var": wm["eff_var"],
+                      "wave_floor_sec": wm["floor"]["wall"]}))
 
 
 if __name__ == "__main__":

@@ -480,6 +480,35 @@ class IcebergSnapshotStore:
         # bloom only: a bounded per-segment table, not crawl state
         return f"INSERT OVERWRITE {self._q(table)} SELECT * FROM _delta"
 
+    def rewrite_data_files_sql(self, table: str) -> str:
+        """Maintenance analogue of LocalSnapshotStore's delta-folding
+        compaction: bin-pack the small per-wave delta files. Scheduled at
+        the same compact_every cadence (tools/gen_iceberg_log.py shows the
+        full statement stream)."""
+        return (f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self.ns}.{table}', "
+                f"options => map('min-input-files', '2'))")
+
+    def replace_bucket_sql(self, table: str, old_nb: int,
+                           new_nb: int) -> str:
+        """Maintenance analogue of LocalSnapshotStore's adaptive nb
+        doubling: swap the bucket(nb, key) partition transform. New writes
+        land under the new spec immediately; the follow-up
+        rewrite_data_files migrates existing files so bucket size stays
+        bounded as the table grows."""
+        key = BUCKETED_TABLES[table]
+        return (f"ALTER TABLE {self._q(table)} REPLACE PARTITION FIELD "
+                f"bucket({old_nb}, {key}) WITH bucket({new_nb}, {key})")
+
+    def expire_snapshots_sql(self, table: str, retain_last: int = 8) -> str:
+        """Maintenance analogue of LocalSnapshotStore's manifest pruning:
+        drop snapshots older than the rollback horizon (recover() only
+        ever rolls back to the previous committed wave, so retaining the
+        last few is sufficient)."""
+        return (f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => '{self.ns}.{table}', "
+                f"retain_last => {retain_last})")
+
     def rollback_sql(self, table: str, snapshot_id: str) -> str:
         return (f"CALL {self.catalog}.system.rollback_to_snapshot"
                 f"('{self.ns}.{table}', {snapshot_id})")

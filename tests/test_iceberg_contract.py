@@ -335,3 +335,24 @@ def test_recover_scopes_to_orphan_wave_only():
     assert len(stmts) == 1 and "grawler.seen" in stmts[0]
     assert fs.snap == committed | {"lineage": fs.snap["lineage"]}
     assert st.last_wave() == 1
+
+
+def test_maintenance_sql_shapes():
+    """The maintenance builders (the compaction analogue the deploy doc
+    tools/gen_iceberg_log.py schedules every compact_every waves) produce
+    the documented statement shapes: bin-pack via rewrite_data_files,
+    nb growth via REPLACE PARTITION FIELD on the bucket transform, and
+    snapshot expiry bounded by the rollback horizon."""
+    _fs, st = _store()
+    rw = st.rewrite_data_files_sql("seen")
+    assert rw == ("CALL crawl.system.rewrite_data_files("
+                  "table => 'grawler.seen', "
+                  "options => map('min-input-files', '2'))")
+    rb = st.replace_bucket_sql("seen", 1024, 2048)
+    assert rb == ("ALTER TABLE crawl.grawler.seen REPLACE PARTITION FIELD "
+                  "bucket(1024, url) WITH bucket(2048, url)")
+    rb2 = st.replace_bucket_sql("store_keys", 8, 16)
+    assert "bucket(8, image_id) WITH bucket(16, image_id)" in rb2
+    ex = st.expire_snapshots_sql("frontier", retain_last=8)
+    assert ex == ("CALL crawl.system.expire_snapshots("
+                  "table => 'grawler.frontier', retain_last => 8)")

@@ -27,6 +27,7 @@ the pure-Python oracle (grawler.oracle) is the correctness contract.
 from __future__ import annotations
 
 import datetime as dt
+import os as _os
 import time as _time
 from dataclasses import dataclass
 
@@ -417,9 +418,6 @@ class CrawlEngine:
             salt_buckets=cfg.salt_buckets,
             registry=persisted,
         )
-        import os as _os
-        import time as _time
-
         _timing = _os.environ.get("GRAWLER_TIMING")
         _t0 = _time.time()
         scheduled = scheduled.persist()

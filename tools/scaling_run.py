@@ -85,14 +85,18 @@ def run_split_at(cores: int, frontier_rows: int) -> dict:
     return best
 
 
-def run_wave_at(cores: int, wave_n: int, repeats: int = 2) -> dict:
+def run_wave_at(cores: int, wave_n: int, repeats: int | None = None) -> dict:
     """Composed full-wave (bench_wave) in a fresh JVM at `cores` threads:
     schedule -> fetch-sim -> parse -> children -> image store -> commit.
-    2 warmup passes + best-of-`repeats` (bench.py wave-only mode)."""
+    2 warmup passes + best-of-`repeats` (bench.py wave-only mode).
+    `repeats` defaults to GRAWLER_BENCH_REPEATS (itself defaulting to 2
+    here: each repeat is a full composed wave)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["GRAWLER_BENCH_WAVE_ONLY"] = "1"
     env["GRAWLER_BENCH_WAVE"] = str(wave_n)
+    if repeats is None:
+        repeats = int(os.environ.get("GRAWLER_BENCH_REPEATS", "2"))
     env["GRAWLER_BENCH_REPEATS"] = str(repeats)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -110,57 +114,97 @@ def wave_matrix() -> dict:
     size-INdependent orchestration floor (~80 Spark jobs: per-stage
     scheduling, state-table commits, metrics) that no core count removes,
     so raw efficiency at small wave sizes measures the floor, not the
-    dataflow. Running TWO wave sizes at each core count cancels the floor:
-    var(c) = wall(c, n_big) - wall(c, n_small) is the cost of the
-    data-proportional work on (n_big - n_small) URLs, and
-    eff_var = var(1) / (4 * var(4)) is the dataflow's N->4N efficiency.
-    The floor itself is measured directly with a near-empty wave."""
-    n_small, n_big = 50_000, 200_000
-    m = {}
+    dataflow. The robust statistic is raw N->4N efficiency at a LADDER of
+    wave sizes: it must RISE toward the micro-bench efficiency as the
+    floor amortizes — the monotone trend is reproducible where a
+    floor-cancelling differenced statistic (var = wall_big - wall_small)
+    proved unusable across fresh-JVM runs on this shared box (observed
+    0.52 / 0.66 / 0.74 / 1.30 over four runs: subtracting two best-of-N
+    walls sums both cells' jitter, and the largest local[1] wave adds
+    superlinear single-thread spill cost). The floor itself is measured
+    directly with a near-empty wave."""
+    sizes = [50_000, 200_000, 400_000]
+    m = {"sizes": sizes, "cells": {}}
     for cores in (1, 4):
-        m[cores] = {
-            "small": run_wave_at(cores, n_small),
-            "big": run_wave_at(cores, n_big),
-        }
-        print(f"wave local[{cores}]: {m[cores]}", file=sys.stderr)
+        for n in sizes:
+            m["cells"][f"{cores}:{n}"] = run_wave_at(cores, n)
+            print(f"wave local[{cores}] n={n}: {m['cells'][f'{cores}:{n}']}",
+                  file=sys.stderr)
     m["floor"] = run_wave_at(4, 2_000)  # data cost ~0: orchestration only
     print(f"wave floor (local[4], n=2k): {m['floor']}", file=sys.stderr)
-    for cores in (1, 4):
-        m[cores]["var_sec"] = round(
-            m[cores]["big"]["wall"] - m[cores]["small"]["wall"], 3)
-    m["eff_raw_small"] = round(
-        m[1]["small"]["wall"] / m[4]["small"]["wall"] / 4, 3)
-    m["eff_raw_big"] = round(
-        m[1]["big"]["wall"] / m[4]["big"]["wall"] / 4, 3)
-    m["eff_var"] = round(m[1]["var_sec"] / (4 * m[4]["var_sec"]), 3)
+    m["eff_raw"] = {
+        n: round(m["cells"][f"1:{n}"]["wall"]
+                 / m["cells"][f"4:{n}"]["wall"] / 4, 3)
+        for n in sizes
+    }
     return m
 
 
+def parse_existing_baseline():
+    """Recover (rn, r4n, split, rows) from the raw-JSON fence of the
+    committed BENCH/BASELINE.md so --wave-only can refresh just the
+    composed-wave section without re-running the micro-benches."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    micro, split = [], {}
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if ln.startswith("wave:"):
+                continue
+            if not ln.startswith("{"):
+                continue
+            r = json.loads(ln)
+            if "frontier_arrow_urls_per_sec" in r:
+                split[int(r["cores"])] = r
+            else:
+                micro.append(r)
+    rn, r4n = micro[0], micro[1]
+    return rn, r4n, split, rn.get("frontier_rows", 4_000_000)
+
+
 def main():
+    if "--wave-only" in sys.argv:
+        # Re-measure ONLY the composed-wave matrix; keep the committed
+        # micro-bench numbers (quoted from the same artifact they landed in).
+        rn, r4n, split, rows = parse_existing_baseline()
+        n, n4 = int(rn["cores"]), int(r4n["cores"])
+        wm = wave_matrix()
+        write_baseline(rn, r4n, split, wm, rows, n, n4)
+        return
+
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n
     results = {}
     for cores in (n, n4):
         results[cores] = run_at(cores, rows)
+        results[cores]["frontier_rows"] = rows
         print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
     # supplementary per-stage evidence at the unfriendly 8->32 pair
     split = {}
     for cores in (8, 32):
         split[cores] = run_split_at(cores, rows)
         print(f"split local[{cores}]: {split[cores]}", file=sys.stderr)
+    rn, r4n = results[n], results[n4]
+    wm = wave_matrix()
+    write_baseline(rn, r4n, split, wm, rows, n, n4)
+
+
+def write_baseline(rn, r4n, split, wm, rows, n, n4):
     eff_arrow = (split[32]["frontier_arrow_urls_per_sec"]
                  / split[8]["frontier_arrow_urls_per_sec"]) / 4
     eff_jvm = (split[32]["frontier_jvm_urls_per_sec"]
                / split[8]["frontier_jvm_urls_per_sec"]) / 4
-
-    rn, r4n = results[n], results[n4]
     eff_frontier = (r4n["frontier_urls_per_sec"]
                     / rn["frontier_urls_per_sec"]) / (n4 / n)
     eff_store = (r4n["store_rows_per_sec"]
                  / rn["store_rows_per_sec"]) / (n4 / n)
-
-    wm = wave_matrix()
+    ladder_rows = "\n".join(
+        f"| {sz // 1000}k URLs "
+        f"| {wm['cells'][f'1:{sz}']['wall']} "
+        f"| {wm['cells'][f'4:{sz}']['wall']} "
+        f"| {wm['eff_raw'][sz]:.2f} |"
+        for sz in wm["sizes"])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -216,32 +260,39 @@ multi-executor cluster every stage gets the python-worker treatment
 ## Composed full-wave scaling (one engine wave, local[1] vs local[4])
 
 The full wave (schedule -> fetch-sim join -> parse UDF -> children ->
-image decode+store -> wave-atomic commit) at two wave SIZES per core
-count. A wave carries a size-independent orchestration floor — ~80 Spark
-jobs of per-stage scheduling, state-table commit, and metrics work —
-measured directly below with a near-empty wave; raw efficiency at small
-wave sizes measures that floor, not the dataflow. Differencing the two
-sizes cancels the floor: var(c) = wall(c, 200k) - wall(c, 50k) is the
-data-proportional cost of 150k URLs.
+image decode+store -> wave-atomic commit) at a LADDER of wave sizes per
+core count. A wave carries a size-independent orchestration floor — ~80
+Spark jobs of per-stage scheduling, state-table commit, and metrics
+work — measured directly below with a near-empty wave; raw efficiency at
+small wave sizes measures that floor, not the dataflow. The scaling
+signature of a floor+linear cost model is that raw efficiency RISES
+toward the micro-bench efficiency as waves grow, which the ladder shows
+directly:
 
-| | local[1] | local[4] | efficiency (N->4N) |
+| wave size | local[1] wall (s) | local[4] wall (s) | raw efficiency (N->4N) |
 |---|---|---|---|
-| wall, 50k-URL wave (s) | {wm[1]['small']['wall']} | {wm[4]['small']['wall']} | {wm['eff_raw_small']:.2f} (raw) |
-| wall, 200k-URL wave (s) | {wm[1]['big']['wall']} | {wm[4]['big']['wall']} | {wm['eff_raw_big']:.2f} (raw) |
-| var = 200k - 50k (s) | {wm[1]['var_sec']} | {wm[4]['var_sec']} | **{wm['eff_var']:.2f} (data-proportional work)** |
+{ladder_rows}
 
 Orchestration floor (near-empty 2k-URL wave, local[4]):
 {wm['floor']['wall']} s — independent of wave size and core count; it is
-{100.0 * wm['floor']['wall'] / wm[4]['big']['wall']:.0f}% of the local[4]
-200k wall and shrinks linearly in relative terms as waves grow. A
-production crawl wave is 10^7-10^9 URLs (this engine caps waves by count/
-duration, so waves GROW to amortize exactly this floor), where the floor
-is <1% and the composed efficiency converges to the data-proportional
-row above. The per-stage Arrow-vs-JVM attribution (previous section)
-explains the remaining variable-part loss: JVM shuffle stages share one
-heap in local mode; Arrow/python-worker stages (fetch, parse, decode —
-the wave's dominant cost) get real per-process heaps, as every stage
-would on a multi-executor cluster.
+{100.0 * wm['floor']['wall'] / wm['cells']['4:400000']['wall']:.0f}% of the
+local[4] 400k wall and shrinks linearly in relative terms as waves grow.
+A production crawl wave is 10^7-10^9 URLs (this engine caps waves by
+count/duration, so waves GROW to amortize exactly this floor), where the
+floor is <1% and the composed efficiency converges to the micro-bench
+rows above (0.80/0.90). Per-cell ambient load (load_avg_1m in the raw
+JSON) is recorded because the box is shared: runs where the local[4]
+cells landed on a busy box understate efficiency (the competing load
+taxes 4 worker threads proportionally more than 1). A floor-cancelling
+differenced statistic (wall_big - wall_small per core count) was tried
+and is NOT published as a headline: across four fresh-JVM runs on this
+shared box it swung 0.52-1.30 (subtracting two best-of-N walls sums both
+cells' jitter; the largest local[1] wave adds superlinear single-thread
+spill cost), where the ladder's monotone rise reproduces run over run. The per-stage Arrow-vs-JVM attribution (previous section)
+explains the sub-1.0 remainder: JVM shuffle stages share one heap in
+local mode; Arrow/python-worker stages (fetch, parse, decode — the
+wave's dominant cost) get real per-process heaps, as every stage would
+on a multi-executor cluster.
 
 Raw JSON:
 
@@ -255,8 +306,8 @@ wave: {json.dumps({str(k): v for k, v in wm.items()})}
 """)
     print(json.dumps({"eff_frontier": round(eff_frontier, 3),
                       "eff_store": round(eff_store, 3),
-                      "eff_wave_raw_200k": wm["eff_raw_big"],
-                      "eff_wave_var": wm["eff_var"],
+                      "eff_wave_raw": {str(k): v
+                                       for k, v in wm["eff_raw"].items()},
                       "wave_floor_sec": wm["floor"]["wall"]}))
 
 

@@ -116,7 +116,9 @@ def wave_matrix() -> dict:
     so raw efficiency at small wave sizes measures the floor, not the
     dataflow. The robust statistic is raw N->4N efficiency at a LADDER of
     wave sizes: it must RISE toward the micro-bench efficiency as the
-    floor amortizes — the monotone trend is reproducible where a
+    floor amortizes — the largest-wave cell clearing the small-wave cells
+    reproduces run over run (adjacent small cells can swap inside their
+    recorded spreads), where a
     floor-cancelling differenced statistic (var = wall_big - wall_small)
     proved unusable across fresh-JVM runs on this shared box (observed
     0.52 / 0.66 / 0.74 / 1.30 over four runs: subtracting two best-of-N
@@ -266,8 +268,10 @@ Spark jobs of per-stage scheduling, state-table commit, and metrics
 work — measured directly below with a near-empty wave; raw efficiency at
 small wave sizes measures that floor, not the dataflow. The scaling
 signature of a floor+linear cost model is that raw efficiency RISES
-toward the micro-bench efficiency as waves grow, which the ladder shows
-directly:
+toward the micro-bench efficiency as waves grow. The reproducible part
+of that signature on this shared box is the LARGEST-wave cell clearing
+the small-wave cells; adjacent small cells sit within each other's
+recorded spreads and can swap order run over run:
 
 | wave size | local[1] wall (s) | local[4] wall (s) | raw efficiency (N->4N) |
 |---|---|---|---|
@@ -288,7 +292,8 @@ differenced statistic (wall_big - wall_small per core count) was tried
 and is NOT published as a headline: across four fresh-JVM runs on this
 shared box it swung 0.52-1.30 (subtracting two best-of-N walls sums both
 cells' jitter; the largest local[1] wave adds superlinear single-thread
-spill cost), where the ladder's monotone rise reproduces run over run. The per-stage Arrow-vs-JVM attribution (previous section)
+spill cost), where the ladder's large-wave rise reproduces run over
+run. The per-stage Arrow-vs-JVM attribution (previous section)
 explains the sub-1.0 remainder: JVM shuffle stages share one heap in
 local mode; Arrow/python-worker stages (fetch, parse, decode — the
 wave's dominant cost) get real per-process heaps, as every stage would

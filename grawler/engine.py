@@ -720,12 +720,29 @@ class CrawlEngine:
             "host_budget": host_budget,
             "pages_meta": pages_meta,
         }
+        compacting = (wave > 0 and hasattr(self.state, "compact_every")
+                      and wave % self.state.compact_every == 0)
+        # O(delta) commits extend to ZERO-size deltas: a table whose wave
+        # delta is known empty from counts already on hand is omitted from
+        # the commit entirely (readers union the manifest entries that
+        # exist; on a steady 10^10-URL crawl the robots cache changes on
+        # almost no wave, so this retires a full table write + Iceberg
+        # MERGE per wave). Compaction waves still write every table so the
+        # delta log compacts on schedule, and wave 0 always writes — it
+        # establishes each table's schema on disk.
+        if wave > 0 and not compacting:
+            if n_stored == 0:
+                del tables["store"], tables["store_keys"]
+            if n_parsed == 0:
+                del tables["seen"], tables["pages_meta"]
+            if stale.isEmpty():  # persisted + already materialized: the
+                # emptiness probe costs one first-partition task, the
+                # skipped write costs a full (if empty) table job
+                del tables["robots_cache"]
         if cfg.use_bloom:
             _p_, build, merge, load = _seen_filter_fns(
                 cfg, self._filter_params)
             rebuilt = False
-            compacting = (wave > 0 and hasattr(self.state, "compact_every")
-                          and wave % self.state.compact_every == 0)
             if compacting and bloom_segments is not None:
                 # saturation check (amortized like nb growth): a static
                 # filter sized at crawl start goes useless as seen grows —
@@ -744,7 +761,12 @@ class CrawlEngine:
                         seen.select("url")
                         .unionByName(seen_delta.select("url")))
                     rebuilt = True
-            if not rebuilt:
+            if not rebuilt and not (
+                wave > 0 and not compacting and n_parsed == 0
+                and bloom_segments is not None
+            ):  # empty seen delta + existing filter: merge is the
+                # identity, keep the previous snapshot instead of
+                # rewriting identical segment bytes
                 new_segs = build(seen_delta)
                 tables["bloom"] = (
                     merge(bloom_segments, new_segs)

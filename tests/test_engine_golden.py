@@ -300,3 +300,44 @@ def test_filter_saturation_grows_and_resume_adopts(spark, tmp_path):
     eng2.state = LocalSnapshotStore(spark, wh, compact_every=2)
     eng2.run(seeds, max_waves=3, resume=True)
     assert eng2._filter_params["m"] == meta["m"]
+
+
+def test_empty_deltas_skipped_and_resume_tolerates(spark, tmp_path):
+    """A table whose wave delta is known empty is omitted from the commit
+    (O(delta) extends to zero-size deltas): with every host's robots.txt
+    pre-seeded and fresh, no wave past 0 has a robots delta, so no wave>0
+    manifest should carry a robots_cache entry — while compaction waves
+    still write every table so the delta log compacts on schedule. State
+    and resume must be byte-identical to the oracle regardless."""
+    from grawler.store import LocalSnapshotStore
+
+    web = synthgen.generate(seed=11, n_pages=80, shape="mixed")
+    wh = str(tmp_path / "wh")
+    eng, seeds = build_engine(spark, web, wh, CFG)  # robots pre-seeded
+    eng.state = LocalSnapshotStore(spark, wh, compact_every=3)
+    res = eng.run(seeds, max_waves=4)
+    assert res.waves >= 3
+    ms = {m["wave"]: m for m in eng.state.manifests()}
+    assert "robots_cache" in ms[0]["tables"]  # wave 0 establishes schema
+    steady = [w for w in ms if w > 0 and w % 3 != 0]
+    assert steady and all(
+        "robots_cache" not in ms[w]["tables"] for w in steady)
+    compactions = [w for w in ms if w > 0 and w % 3 == 0]
+    assert all("robots_cache" in ms[w]["tables"] for w in compactions)
+    # correctness unchanged by the skipped writes
+    o = oracle.crawl(web, CFG, max_waves=4)
+    _assert_equal(res, o, web)
+    # resume across manifests WITH holes: rerun from a partial crawl and
+    # match an uninterrupted one
+    part = str(tmp_path / "part")
+    e2, s2 = build_engine(spark, web, part, CFG)
+    e2.state = LocalSnapshotStore(spark, part, compact_every=3)
+    e2.run(s2, max_waves=2)
+    e3, s3 = build_engine(spark, web, part, CFG)
+    e3.state = LocalSnapshotStore(spark, part, compact_every=3)
+    resumed = e3.run(s3, max_waves=4, resume=True)
+    a = sorted((r["wave"], r["seq"], r["url"])
+               for r in res.trace().collect())
+    b = sorted((r["wave"], r["seq"], r["url"])
+               for r in resumed.trace().collect())
+    assert a == b

@@ -126,11 +126,58 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
 # ---------------------------------------------------------------- phash/psnr
 
+_PHASH_W = np.array([299, 587, 114], dtype=np.int64)  # 1000x luma weights
+
+
+def phash64_batch(pxs: list) -> np.ndarray:
+    """Vectorized 64-bit average hash over a list of (h, w, 3) uint8 arrays.
+
+    Same definition as `_phash64_ref` (8x8 block-mean grayscale, bit =
+    cell > mean of cells) and bit-identical to it (tests/test_codecs.py
+    parity test over uniform/gradient/random shapes): the 1000x-integer
+    luma (299R+587G+114B, exact in int64) and exact int64 block sums make
+    the scale-invariant `cell > mean` comparison insensitive to the
+    summation-order rounding that a float path would reintroduce. Images
+    are stacked by shape so a whole Arrow batch is a few numpy calls, not
+    64 slice-means per image — ~10x per-image on the store's decode+phash
+    path, which is what the rate is made of at real image sizes.
+
+    Returns an int64 array (two's complement, fits Spark LongType).
+    """
+    out = np.empty(len(pxs), dtype=np.int64)
+    by_shape: dict = {}
+    for i, px in enumerate(pxs):
+        by_shape.setdefault(px.shape, []).append(i)
+    for (h, w, _), idxs in by_shape.items():
+        stack = np.stack([pxs[i] for i in idxs])     # (n, h, w, 3) uint8
+        g = stack @ _PHASH_W                         # (n, h, w) exact int64
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        rows = np.add.reduceat(g, ys[:-1], axis=1)
+        sums = np.add.reduceat(rows, xs[:-1], axis=2)  # exact block sums
+        cnt = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+        cells = (sums / cnt).reshape(len(idxs), 64)    # float64 block means
+        bits = cells > cells.mean(axis=1)[:, None]
+        packed = np.packbits(bits, axis=1)             # (n, 8) MSB-first
+        out[np.asarray(idxs)] = (
+            packed.view(">u8").astype(np.uint64).ravel().view(np.int64)
+        )
+    return out
+
+
 def phash64(px: np.ndarray) -> int:
     """64-bit average hash: 8x8 block-mean grayscale, bit = cell > mean.
 
     Returned as *signed* int64 (two's complement) to fit Spark LongType.
+    Delegates to the batch implementation so scalar and batch callers can
+    never diverge.
     """
+    return int(phash64_batch([px])[0])
+
+
+def _phash64_ref(px: np.ndarray) -> int:
+    """Reference (pre-vectorization) phash: per-cell slice means in float64.
+    Kept only as the parity-test witness for phash64_batch."""
     gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8

@@ -31,6 +31,7 @@ import os as _os
 import time as _time
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -129,16 +130,31 @@ PHASH_SCHEMA = StructType(
 
 @pandas_udf(PHASH_SCHEMA)
 def decode_phash_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
-    rows = []
-    for b, f in zip(data, fmt):
+    # decode is per-row (variable-size payloads); the phash is one
+    # vectorized call over the whole Arrow batch (codecs.phash64_batch) —
+    # the 64-slice-mean-per-image scalar path was 89% of decode+phash CPU
+    n = len(data)
+    pxs, ok_idx = [], []
+    dec_w = np.empty(n, dtype=object)
+    dec_h = np.empty(n, dtype=object)
+    for i, (b, f) in enumerate(zip(data, fmt)):
         try:
             px = codecs.decode(bytes(b), f)
-            rows.append(
-                (codecs.phash64(px), px.shape[1], px.shape[0], True)
-            )
         except Exception:
-            rows.append((None, None, None, False))
-    return pd.DataFrame(rows, columns=["phash", "dec_w", "dec_h", "ok"])
+            dec_w[i] = dec_h[i] = None
+            continue
+        pxs.append(px)
+        ok_idx.append(i)
+        dec_w[i], dec_h[i] = px.shape[1], px.shape[0]
+    phash = np.empty(n, dtype=object)
+    phash[:] = None
+    if pxs:
+        phash[np.asarray(ok_idx)] = list(codecs.phash64_batch(pxs))
+    ok = np.zeros(n, dtype=bool)
+    if ok_idx:
+        ok[np.asarray(ok_idx)] = True
+    return pd.DataFrame(
+        {"phash": phash, "dec_w": dec_w, "dec_h": dec_h, "ok": ok})
 
 
 def _filter_meta(cfg: CrawlConfig) -> dict:

@@ -50,3 +50,23 @@ def test_phash_discriminates():
     a = codecs.phash64(_img(seed=1))
     b = codecs.phash64(255 - _img(seed=2))
     assert a != b
+
+
+def test_phash_batch_matches_reference():
+    """phash64_batch is bit-identical to the pre-vectorization per-cell
+    slice-mean reference across shapes and adversarial content (uniform
+    images are all-tie cells; gradients produce near-tie cells)."""
+    rng = np.random.default_rng(42)
+    imgs = [
+        np.full((16, 16, 3), 127, dtype=np.uint8),          # exact ties
+        np.full((13, 9, 3), 200, dtype=np.uint8),           # ragged blocks
+        np.tile((np.arange(24, dtype=np.uint8) * 10)[:, None, None],
+                (1, 24, 3)),                                # gradient
+    ]
+    for _ in range(200):
+        h, w = rng.integers(8, 49, 2)
+        imgs.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    batch = codecs.phash64_batch(imgs)
+    for px, got in zip(imgs, batch):
+        assert int(got) == codecs._phash64_ref(px)
+        assert codecs.phash64(px) == int(got)  # scalar delegates to batch

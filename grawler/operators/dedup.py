@@ -413,6 +413,10 @@ def hamming_band_pairs(sig: DataFrame, id_col: str = "id",
             ])
         ).alias("band", "band_val"),
     )
+    # hamming-verify BEFORE the distinct: bit_count(xor) is a cheap
+    # map-side expression, so filtering first shrinks the dedup shuffle
+    # from every band-collision candidate (duplicated across bands) to
+    # true near-dups only — and narrows its rows to (id_a, id_b, hamming)
     cand = (
         bands.alias("l")
         .join(
@@ -425,17 +429,11 @@ def hamming_band_pairs(sig: DataFrame, id_col: str = "id",
         )
         .select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+            .cast("int").alias("hamming"),
         )
-        .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-    )
+    return cand.where(F.col("hamming") <= max_hamming).distinct()
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",

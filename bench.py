@@ -36,6 +36,24 @@ IMG_ROWS = int(os.environ.get("GRAWLER_BENCH_IMAGES", "12000"))
 REPEATS = int(os.environ.get("GRAWLER_BENCH_REPEATS", "3"))
 
 
+def wait_for_idle(max_wait_s: float | None = None,
+                  load_threshold: float = 2.0) -> float:
+    """Bounded wait for the 1-minute load average to decay below
+    `load_threshold` before measuring. This round's same-code fresh-JVM
+    wave runs swung 21.4-24.8s min purely with ambient load; a bounded
+    pre-measurement wait removes the avoidable part of that swing while
+    the cap guarantees the bench still runs on a permanently-busy box.
+    Returns seconds actually waited (recorded in the output JSON)."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("GRAWLER_BENCH_IDLE_WAIT", "180"))
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if os.getloadavg()[0] < load_threshold:
+            break
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
 def timed_best(fn, repeats: int = REPEATS) -> dict:
     """Run fn() -> wall-sec `repeats` times; report min/median/spread."""
     import statistics
@@ -423,6 +441,7 @@ def main():
                           "load_avg_1m": round(os.getloadavg()[0], 1)}))
         return
 
+    idle_waited = wait_for_idle()
     spark = get_spark("grawler-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -470,7 +489,13 @@ def main():
         recall_hard = bench_ann_hard(spark)
     w_rate, wres = None, None
     if not os.environ.get("GRAWLER_BENCH_ONLY_THROUGHPUT"):
+        # the wave runs in a fresh JVM, but it starts in the wake of the
+        # query benches above (this round's same-code runs: 21.4s min when
+        # the box was quiet at wave start vs 24.8s in one full-bench run) —
+        # let that load decay, bounded, before the one number read first
+        idle_waited_wave = wait_for_idle()
         wres = run_wave_isolated()
+        wres["idle_waited_s"] = idle_waited_wave
         record("crawl_full_wave_100k", wres["stats"])
         w_rate = wres["rate"]
 
@@ -507,6 +532,11 @@ def main():
         # artifact instead of in the round notes
         "load_avg_1m_start": round(load_start, 1),
         "load_avg_1m_end": round(os.getloadavg()[0], 1),
+        # bounded pre-measurement idle waits (wait_for_idle): seconds spent
+        # letting ambient load decay before the first measurement and
+        # before the isolated wave subprocess
+        "idle_waited_s": idle_waited,
+        "idle_waited_wave_s": (wres or {}).get("idle_waited_s"),
     }
     if split:
         out.update({f"frontier_{k}": v for k, v in split.items()})

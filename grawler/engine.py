@@ -665,45 +665,56 @@ class CrawlEngine:
         )
         store_delta = store_delta.persist()  # decode once: count + write
         persisted.append(store_delta)
-        _t0 = _time.time()
-        n_stored = store_delta.count()
-        if _timing:
-            print(f"  [t] store_delta count: {_time.time() - _t0:.2f}s")
 
         # 9. metrics (north_rule: fetch/parse/dedup metrics). Counts reuse
         # cached intermediates (fetched/parsed/store_delta are persisted);
         # deduped = corpus-valid image refs minus newly stored rows, matching
-        # the oracle's per-occurrence accounting.
+        # the oracle's per-occurrence accounting. The three remaining count
+        # jobs are mutually independent once fetched/parsed are cached, so
+        # they run CONCURRENTLY (guide §2.6: actions are only sequential
+        # because the driver calls them sequentially) — the image decode
+        # (store_delta) no longer serializes behind the metrics rollup.
+        def _part_rows():
+            return (
+                fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count("*").alias("scheduled"),
+                    F.count(
+                        F.when(F.col("status") <= cfg.http_error_threshold, 1)
+                    ).alias("fetched"),
+                    F.count(
+                        F.when(
+                            (F.col("status") <= cfg.http_error_threshold)
+                            & F.col("ctype").isin(
+                                *cfg.allowed_content_types),
+                            1,
+                        )
+                    ).alias("parsed"),
+                    F.sum(F.coalesce("fetch_latency_ms", F.lit(0)))
+                    .alias("wall_ms"),
+                    F.count(F.when(
+                        F.col("status").isNull()
+                        | (F.col("status") > cfg.http_error_threshold),
+                        1)).alias("errors"),
+                )
+            ).collect()  # <= #partitions rows: bounded driver traffic
+
+        from concurrent.futures import ThreadPoolExecutor
+
         _t0 = _time.time()
-        part_rows = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.count(
-                    F.when(F.col("status") <= cfg.http_error_threshold, 1)
-                ).alias("fetched"),
-                F.count(
-                    F.when(
-                        (F.col("status") <= cfg.http_error_threshold)
-                        & F.col("ctype").isin(*cfg.allowed_content_types),
-                        1,
-                    )
-                ).alias("parsed"),
-                F.sum(F.coalesce("fetch_latency_ms", F.lit(0))).alias("wall_ms"),
-                F.count(F.when(F.col("status").isNull()
-                               | (F.col("status") > cfg.http_error_threshold),
-                               1)).alias("errors"),
-            )
-        ).collect()  # <= #partitions rows: bounded driver traffic
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_stored = _pool.submit(store_delta.count)
+            _f_parts = _pool.submit(_part_rows)
+            _f_imgs = _pool.submit(
+                imgs.join(self.images.select("image_id"), "image_id").count)
+            n_stored = _f_stored.result()
+            part_rows = _f_parts.result()
+            n_img_refs = _f_imgs.result()
         if _timing:
-            print(f"  [t] metrics collect: {_time.time() - _t0:.2f}s")
+            print(f"  [t] store/metrics/img counts (parallel): "
+                  f"{_time.time() - _t0:.2f}s")
         n_fetched = sum(r["fetched"] for r in part_rows)
         n_errors = n_scheduled - n_fetched
-        _t0 = _time.time()
-        n_img_refs = imgs.join(
-            self.images.select("image_id"), "image_id").count()
-        if _timing:
-            print(f"  [t] img_refs count: {_time.time() - _t0:.2f}s")
         n_deduped = n_img_refs - n_stored
         # dedup/store are wave-global set ops, not attributable to a fetch
         # partition: null in per-partition rows, real values in the summary

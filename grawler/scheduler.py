@@ -24,12 +24,8 @@ single task (north_rule: skew handled explicitly).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import LongType, StructField, StructType
 
 POLITE_ORDER = ("depth", "priority", "url")
 WAVE_ORDER = ("depth", "priority", "host", "url")
@@ -40,6 +36,7 @@ def per_host_topk(
     k: int,
     salt_buckets: int = 16,
     rank_col: str = "hrank",
+    registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-host politeness: returns (kept, deferred_overflow).
 
@@ -48,6 +45,13 @@ def per_host_topk(
     so they defer immediately; survivors (<= salt_buckets * k per host,
     regardless of skew) take the exact per-host window, whose overflow also
     defers. kept carries rank_col (1-based, <= k).
+
+    When `registry` is given, the two window OUTPUTS (tagged, ranked) are
+    persisted into it: both the kept and the deferred branch read each
+    window's result, and without the cache the engine's commit-time
+    consumers of `deferred` re-executed the entire schedule pipeline
+    (canonicalize + both window shuffles) from scratch inside the frontier
+    table write — measured ~5s of the ~7s frontier commit at a 100k wave.
     """
     cols = df.columns
     order = [F.col(c) for c in POLITE_ORDER]
@@ -57,6 +61,9 @@ def per_host_topk(
         )
         w_local = Window.partitionBy("host", "_salt").orderBy(*order)
         tagged = salted.withColumn("_lr", F.row_number().over(w_local))
+        if registry is not None:
+            tagged = tagged.persist()
+            registry.append(tagged)
         survivors = tagged.where(F.col("_lr") <= k).drop("_lr", "_salt")
         defer_local = tagged.where(F.col("_lr") > k).select(*cols)
     else:
@@ -64,6 +71,9 @@ def per_host_topk(
         defer_local = df.limit(0)
     w = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn(rank_col, F.row_number().over(w))
+    if registry is not None:
+        ranked = ranked.persist()
+        registry.append(ranked)
     kept = ranked.where(F.col(rank_col) <= k)
     defer_exact = ranked.where(F.col(rank_col) > k).select(*cols)
     return kept, defer_local.unionByName(defer_exact)
@@ -77,10 +87,16 @@ def global_sequence(
     single-partition window.
 
     Phase 1: range-partition + sort by order_cols, persist (fixes the range
-    bounds). Phase 2: per-partition counts (tiny collect: one row per
-    partition) -> cumulative offsets -> mapInPandas adds offset + local index.
+    bounds AND the scan order). Phase 2: per-partition counts (tiny collect:
+    one row per partition) -> cumulative offsets -> NATIVE per-row index:
+    monotonically_increasing_id() is (partition id << 33) + the row's scan
+    position within its partition, so `mid & (2^33 - 1)` is the local index
+    over the persisted sorted order and seq = offset[_pid] + local index.
+    This replaces the previous mapInPandas pass — same offsets, same
+    per-partition ordering, but zero Python crossing (the r06 baseline plan
+    showed every scheduled row paying a MapInPandas round-trip just to add
+    this one column).
     """
-    spark = df.sparkSession
     d = (
         df.repartitionByRange(*[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -95,25 +111,14 @@ def global_sequence(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = StructType(
-        [f for f in d.schema.fields if f.name != "_pid"]
-        + [StructField(seq_col, LongType())]
-    )
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            off = b_offsets.value.get(int(pdf["_pid"].iloc[0]), 0)
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[seq_col] = range(off + local, off + local + len(pdf))
-            local += len(pdf)
-            yield pdf
-
-    out = d.mapInPandas(assign, schema=out_schema)
-    return out
+    off_map = F.create_map(
+        *[c for pid, off in offsets.items()
+          for c in (F.lit(pid), F.lit(off).cast("long"))]
+    ) if offsets else F.create_map().cast("map<int,bigint>")
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    seq = (F.coalesce(off_map[F.col("_pid")], F.lit(0).cast("long"))
+           + local).cast("long").alias(seq_col)
+    return d.select(*[c for c in d.columns if c != "_pid"], seq)
 
 
 def schedule_wave(
@@ -129,12 +134,14 @@ def schedule_wave(
     """
     cols = frontier.columns
     kept, deferred_polite = per_host_topk(
-        frontier, host_tokens, salt_buckets=salt_buckets)
-    # persist: global_sequence reads its input twice (range-bound sampling
-    # + the partitioning pass) — without this the window pipeline reruns
-    polite = kept.drop("hrank").select(*cols).persist()
-    if registry is not None:
-        registry.append(polite)
+        frontier, host_tokens, salt_buckets=salt_buckets, registry=registry)
+    # global_sequence reads its input twice (range-bound sampling + the
+    # partitioning pass): when per_host_topk cached `ranked` (registry
+    # path) both reads are a cheap cache-scan + filter; otherwise persist
+    # here so the window pipeline doesn't rerun.
+    polite = kept.drop("hrank").select(*cols)
+    if registry is None:
+        polite = polite.persist()
 
     seq = global_sequence(polite, WAVE_ORDER, "seq", registry=registry)
     scheduled = seq.where(F.col("seq") < wave_cap)

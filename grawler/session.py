@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # size ESTIMATES after a python UDF / filter are routinely 2-10x off
+        # (optimization guide §3.1), and the default 10 MB threshold left
+        # the frontier's 15 MiB seen side on a SortMergeJoin that shuffled
+        # the full 1M-row probe side (r06 baseline plan). 64 MB is a
+        # conservative production value for executors with >= a few GB of
+        # heap; deployments with narrow executors override via env.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("GRAWLER_AUTOBROADCAST", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("GRAWLER_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -261,7 +261,7 @@ class LocalSnapshotStore:
             key=lambda kv: {"frontier": 0, "store": 1, "bloom": 2}.get(
                 kv[0], 9),
         )
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=10) as pool:
             for name, entry in pool.map(write_one, order):
                 entries[name] = entry
         manifest = {

@@ -16,8 +16,10 @@ used in the SQL-checkable operator surface.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import unquote, urlsplit
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
@@ -65,10 +67,57 @@ def canonicalize_one(raw: str | None, base_url: str | None = None):
     return (canon, scheme, host, path, "1")
 
 
+# Vectorized fast path: URLs for which canonicalize_one is provably the
+# identity transform (no percent-escapes, no query/fragment, no whitespace
+# or other stripped/normalized characters, scheme+host already lowercase,
+# plain host charset, non-empty path). For these, canonicalize_one returns
+# (raw, scheme, host, path, "1") with the groups exactly as the regex
+# captures them, so one C-level pandas str.extract replaces the per-row
+# unquote+urlsplit loop; everything else falls back to canonicalize_one.
+# \x1c-\x1f are excluded everywhere because str.strip() removes them while
+# re's \s does not match them.
+_FAST_RE = re.compile(
+    r"^([a-z][a-z0-9+.\-]*)://([a-z0-9._\-]+)(/[^\s\x1c-\x1f?#%]*)$")
+
+
+def _canonicalize_batch(urls: pd.Series, bases: pd.Series) -> pd.DataFrame:
+    n = len(urls)
+    ext = urls.str.extract(_FAST_RE, expand=True)
+    fast = ext[0].notna().to_numpy()
+    cols = {}
+    for name in ("url", "scheme", "host", "path", "valid"):
+        cols[name] = np.empty(n, dtype=object)
+    raw = urls.to_numpy(dtype=object)
+    cols["url"][fast] = raw[fast]
+    cols["scheme"][fast] = ext[0].to_numpy(dtype=object)[fast]
+    cols["host"][fast] = ext[1].to_numpy(dtype=object)[fast]
+    cols["path"][fast] = ext[2].to_numpy(dtype=object)[fast]
+    cols["valid"][fast] = "1"
+    if not fast.all():
+        base_arr = bases.to_numpy(dtype=object)
+        for i in np.flatnonzero(~fast):
+            u = raw[i]
+            row = canonicalize_one(None if u is None or u != u else u,
+                                   base_arr[i])
+            (cols["url"][i], cols["scheme"][i], cols["host"][i],
+             cols["path"][i], cols["valid"][i]) = row
+    return pd.DataFrame(cols)
+
+
 @pandas_udf(CANON_SCHEMA)
-def canonicalize_udf(urls: pd.Series, bases: pd.Series) -> pd.DataFrame:
-    rows = [canonicalize_one(u, b) for u, b in zip(urls, bases)]
-    return pd.DataFrame(rows, columns=["url", "scheme", "host", "path", "valid"])
+def _canonicalize_udf_raw(urls: pd.Series, bases: pd.Series) -> pd.DataFrame:
+    return _canonicalize_batch(urls, bases)
+
+
+# asNondeterministic: a filter on a UDF-derived column (the allowlist
+# predicate over _c.scheme/_c.valid) otherwise gets pushed below the
+# projection and the optimizer evaluates the UDF TWICE — one ArrowEvalPython
+# under the filter and one above (observed in the r06 baseline plans for
+# the frontier pipeline and the engine's children path). Marking it
+# non-deterministic forbids the duplication: one ArrowEvalPython, the
+# filter runs on its output. The function itself is pure, so this is only
+# an optimizer fence, not a semantics change.
+canonicalize_udf = _canonicalize_udf_raw.asNondeterministic()
 
 
 def with_canonical(df, url_col: str = "url", base_col: str | None = None):

@@ -23,8 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # grawler/
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _read(spark: SparkSession, sf_dir: str, name: str,
+          spread: bool = True) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "documents" and spread:
+        # The testdata tables are single-row-group parquet files, which
+        # Spark cannot split: every scan runs as ONE task regardless of
+        # maxPartitionBytes (guide §2.5, unsplittable input). For the
+        # documents table that serializes the regex-heavy text operators
+        # (tokenize/quality/langid/md5) into a single core. A deterministic
+        # hash repartition by the unique key spreads the rows across the
+        # session's cores first — a few-MB shuffle that buys 32x scan-stage
+        # parallelism; filters on doc_id still push below it to the scan.
+        df = df.repartition(spark.sparkContext.defaultParallelism,
+                            F.col("doc_id"))
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -294,7 +307,11 @@ def q_w2_wave_cap_topk(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     from grawler.operators.dedup import exact_dedup
 
-    return exact_dedup(_read(spark, sf_dir, "documents"))
+    # spread=False: md5+groupBy is too cheap per row for the documents
+    # spread-repartition to pay for itself — the map-side partial agg in
+    # the scan task already collapses the shuffle (measured 0.22s plain
+    # vs 0.63s spread at sf0.1)
+    return exact_dedup(_read(spark, sf_dir, "documents", spread=False))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):

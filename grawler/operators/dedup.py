@@ -50,25 +50,37 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """Token n-gram shingles, exploded: (id, shingle).
 
-    Built as posexplode + window lead() so the tokenizing regex runs exactly
-    once per document — building grams with element_at() lambdas over the
-    token-array expression makes Catalyst (CollapseProject) re-evaluate the
-    regex per gram per position: measured ~20x slowdown at sf0.1."""
+    The token array is materialized ONCE per document behind a Generate
+    barrier (explode of a one-element array wrapper): CollapseProject
+    cannot merge expressions across Generate, so the gram-building
+    lambdas below reference the materialized column, not the tokenizing
+    regex — building grams with element_at() lambdas directly over the
+    token-array expression made Catalyst re-evaluate the regex per gram
+    per position (measured ~20x slowdown at sf0.1). Grams are then built
+    natively with transform over the array; the previous shape (posexplode
+    + window lead()) paid a shuffle + SORT by id just to pair adjacent
+    tokens. The dedup is an explicit repartition(id) + dropDuplicates
+    rather than .distinct(): hash(id) satisfies the dedup's (id, shingle)
+    clustering requirement, and — critically — it is the output
+    partitioning every consumer keys on (signature/size groupBys by id,
+    candidate joins by id), so they all reuse this one exchange (guide
+    §2.4). A plain distinct() partitions by (id, shingle), which forced an
+    extra exchange into every downstream aggregation — measured 3x on the
+    whole minhash pipeline. Same shingle set either way."""
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_tokens(text_col)).alias("pos", "tok"),
+        F.explode(F.array(_tokens(text_col))).alias("t"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get("t", i + j) for j in range(n)]),
+    )
     return (
-        tok.select(
-            "id",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            F.lead("tok", n - 1).over(w).alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
-        .distinct()
+        tok.where(F.size("t") >= n)
+        .select("id", F.explode(gram).alias("shingle"))
+        .repartition(F.col("id"))
+        .dropDuplicates(["id", "shingle"])
     )
 
 

@@ -61,18 +61,23 @@ def cosine_topk(
 
     (query_id, neighbor_id, cosine, rank); self-matches excluded.
     """
+    # norms are precomputed per VECTOR below the join (guide §2.3 "don't
+    # recompute per pair what is per-row"): the fold that produces each
+    # norm is unchanged, so cosine values are bit-identical — previously
+    # both norms re-folded the full arrays for every (query, neighbor)
+    # pair, tripling the per-pair array work.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    ).withColumn("_qn", _norm(F.col("qv")))
     n = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    )
+    ).withColumn("_nn", _norm(F.col("nv")))
     scored = (
         q.crossJoin(n)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine", _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            / (F.col("_qn") * F.col("_nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -170,12 +175,16 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # per-vector norms computed below the candidate join (same fold, same
+    # values — see cosine_topk): a candidate id appearing in many pairs no
+    # longer re-folds its norm per pair
     scored = (
-        cand.join(n, "neighbor_id")
-        .join(F.broadcast(q), "query_id")  # queries are the small side
+        cand.join(n.withColumn("_nn", _norm(F.col("nv"))), "neighbor_id")
+        .join(F.broadcast(q.withColumn("_qn", _norm(F.col("qv")))),
+              "query_id")  # queries are the small side
         .withColumn(
             "cosine", _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            / (F.col("_qn") * F.col("_nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -281,23 +290,27 @@ def ann_ivf_topk(
 
         return nearest
 
+    # per-vector norms precomputed below the probe join (same fold, same
+    # values — see cosine_topk); they ride through the distinct as
+    # deterministic functions of the vectors, so the pair set is unchanged
     listed = base.withColumn(
-        "list_id", F.element_at(nearest_lists_udf(1)(F.col("nv")), 1))
+        "list_id", F.element_at(nearest_lists_udf(1)(F.col("nv")), 1)
+    ).withColumn("_nn", _norm(F.col("nv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn(
+    ).withColumn("_qn", _norm(F.col("qv"))).withColumn(
         "list_id", F.explode(nearest_lists_udf(n_probe)(F.col("qv"))),
     )
     cand = (
         q.join(listed, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "qv", "_qn", "neighbor_id", "nv", "_nn")
         .distinct()
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("qv"), F.col("nv"))
-        / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        / (F.col("_qn") * F.col("_nn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -338,14 +351,18 @@ def embedding_neardup(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # per-vector norms below the candidate joins (same fold, same values —
+    # see cosine_topk): ids in many candidate pairs fold their norm once
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  _norm(F.col("v")).alias("_na"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  _norm(F.col("v")).alias("_nb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            / (F.col("_na") * F.col("_nb")),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

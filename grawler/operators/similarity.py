@@ -177,9 +177,15 @@ def ann_lsh_topk(
     )
     # per-vector norms computed below the candidate join (same fold, same
     # values — see cosine_topk): a candidate id appearing in many pairs no
-    # longer re-folds its norm per pair
+    # longer re-folds its norm per pair. The candidate set is BROADCAST:
+    # it is (query_id, neighbor_id) longs bounded by |queries| x bucket
+    # collisions, while the neighbor side carries the full embedding
+    # payload — the default plan shuffled+sorted every corpus vector to
+    # meet a few thousand candidate keys (SortMergeJoin in the r06
+    # baseline plan); broadcasting the keys streams the vectors in place.
     scored = (
-        cand.join(n.withColumn("_nn", _norm(F.col("nv"))), "neighbor_id")
+        F.broadcast(cand)
+        .join(n.withColumn("_nn", _norm(F.col("nv"))), "neighbor_id")
         .join(F.broadcast(q.withColumn("_qn", _norm(F.col("qv")))),
               "query_id")  # queries are the small side
         .withColumn(

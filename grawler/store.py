@@ -261,9 +261,12 @@ class LocalSnapshotStore:
             key=lambda kv: {"frontier": 0, "store": 1, "bloom": 2}.get(
                 kv[0], 9),
         )
+        t_pool = time.time()
         with ThreadPoolExecutor(max_workers=10) as pool:
             for name, entry in pool.map(write_one, order):
                 entries[name] = entry
+        if timing:
+            print(f"  [t] commit pool total: {time.time() - t_pool:.2f}s")
         manifest = {
             "wave": wave,
             "tables": entries,

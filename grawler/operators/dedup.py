@@ -23,11 +23,17 @@ Python in the hot path).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 # Mersenne-31: keeps a_i * h + b_i < 2^62, safe under ANSI int64 arithmetic
 MERSENNE_P = (1 << 31) - 1
+
+# vectorized-UDF objects memoized per parameter set: repeated pipeline
+# builds in one session must reference the SAME PythonUDF so their plans
+# canonicalize equal (plan identity for the CacheManager)
+_UDF_MEMO: dict = {}
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -112,6 +118,52 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64,
     return hashed.groupBy("id").agg(*aggs)
 
 
+def _minhash_sigs_udf(num_hashes: int, seed: int):
+    """Arrow-batched 64-affine-min minhash signatures over per-doc
+    shingle-hash arrays (array<long> of raw xxhash64 values, hashed
+    JVM-side). Per shingle: h = xxhash64 mod MERSENNE_P (numpy % matches
+    Spark pmod on negatives — both return the non-negative residue), then
+    sig_i = min over shingles of (h * a_i + b_i) mod MERSENNE_P. All int64
+    with products < 2^62 — bit-identical to the native affine-min
+    aggregation it replaces. Memoized per (num_hashes, seed) so repeated
+    pipeline builds share one PythonUDF (plan/cache identity)."""
+    key = ("minhash_sigs", num_hashes, seed)
+    if key in _UDF_MEMO:
+        return _UDF_MEMO[key]
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a, b = _affine_params(num_hashes, seed)
+    A = a[None, :]          # (1, k)
+    B = b[None, :]
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in hs]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
+                           count=len(arrs))
+        # callers filter size>=1 pre-UDF; guard empties anyway (min over
+        # nothing is undefined): they get an all-MERSENNE_P signature,
+        # which can only band-match another empty doc — no false pairs
+        # survive the exact verify either way
+        flat = (np.concatenate([x for x in arrs if len(x)])
+                if lens.sum() else np.empty(0, dtype=np.int64))
+        h = flat % MERSENNE_P
+        M = (h[:, None] * A + B) % MERSENNE_P          # (n_shingles, k)
+        out = np.full((len(arrs), A.shape[1]), MERSENNE_P, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            out[nz] = np.minimum.reduceat(M, starts, axis=0)
+        return pd.Series(list(out))
+
+    _UDF_MEMO[key] = sigs
+    return sigs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -127,22 +179,56 @@ def minhash_lsh_pairs(
     LSH candidates (band-bucket equi-join) verified with exact Jaccard over
     shingle sets — no false positives survive; false-negative rate is the
     standard (1 - s^r)^b curve.
+
+    Round-6 shape: everything per-document is computed per document,
+    without a shuffle (guide §1.1 — the minimum number of shuffles this
+    operation fundamentally needs is the candidate self-join, nothing
+    else). The round-5 pipeline exploded shingles into rows and paid an
+    exchange each for the (id, shingle) dedup, the 64-min signature
+    groupBy, the set-size groupBy, and a shingle-explode equi-join +
+    groupBy to verify each candidate pair. Here the distinct shingle SET
+    of a document is one native array (transform + array_distinct, token
+    array materialized once behind a Generate barrier — same
+    CollapseProject guard as shingles()); signatures are one Arrow pass
+    over the per-doc shingle-hash arrays (same affine math, memoized UDF
+    so repeated builds share plans/cache); candidate verification attaches
+    the two shingle arrays by id (broadcast-sized: pairs are bounded by
+    band collisions) and intersects them natively with array_intersect —
+    arrays are distinct, so size(array_intersect) IS the exact
+    intersection cardinality. Pair set and jaccard values are identical
+    (same shingle sets, same integer counts, same division).
     """
     rows = num_hashes // bands
-    sh = shingles(df, text_col, id_col, n).persist()
-    # persisted like sh: the banded frame self-joins, and without the cache
-    # each side would recompute the full shingle->signature aggregation
-    # (AQE does not reuse the exchange across the two scan subtrees here)
-    sig = minhash_signatures(sh, num_hashes, seed).persist()
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(_tokens(text_col))).alias("t"),
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get("t", i + j) for j in range(n)]),
+    )
+    docs = (
+        tok.where(F.size("t") >= n)
+        .select("id", F.array_distinct(gram).alias("shs"))
+        .select(
+            "id", F.size("shs").alias("n_sh"),
+            _minhash_sigs_udf(num_hashes, seed)(
+                F.transform("shs", lambda s: F.xxhash64(s))).alias("_sig"),
+            "shs",
+        )
+        .persist()
+    )
     band_cols = F.array(
         *[
             F.xxhash64(
-                F.lit(bi), *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+                F.lit(bi), *[F.get("_sig", bi * rows + r)
+                             for r in range(rows)]
             )
             for bi in range(bands)
         ]
     )
-    banded = sig.select(
+    banded = docs.select(
         "id", F.posexplode(band_cols).alias("band", "band_hash")
     )
     cand = (
@@ -158,21 +244,14 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    # exact intersection sizes via shingle-set equi-joins on the candidates
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(docs.select(F.col("id").alias("id_a"),
+                              F.col("shs").alias("_sa"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"),
+                          F.col("shs").alias("_sb"),
+                          F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -337,70 +416,77 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 
 # ---------------------------------------------------------------- simhash
 
+
+def _simhash_votes_udf():
+    """Arrow-batched bit voting over per-doc token-hash arrays.
+
+    Input: array<long> of xxhash64 token hashes (one array per document,
+    hashed JVM-side). Output: the 64-bit simhash. Bit b is set iff strictly
+    more tokens have bit b set than clear (2*c_b > n) — integer math, so
+    the result is bit-for-bit the vote-aggregation form it replaces
+    (pytest XXH64 oracle + driver VALUES oracle unchanged).
+
+    The UDF object is memoized: repeated pipeline builds in one session
+    reference the SAME PythonUDF, so their plans canonicalize equal and the
+    CacheManager can substitute a persisted signature table built by an
+    earlier invocation (plan-identity, same behavior as the all-native
+    expression shape this replaces)."""
+    if "simhash_votes" in _UDF_MEMO:
+        return _UDF_MEMO["simhash_votes"]
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def votes(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.uint64)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate([arrs[i] for i in nz]).view(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            n = lens[nz][:, None]                      # tokens per doc
+            sh = np.zeros(len(nz), dtype=np.uint64)
+            for b in range(64):
+                c = np.add.reduceat((flat >> np.uint64(b)) & np.uint64(1),
+                                    starts)
+                sh |= (2 * c.astype(np.int64) > n[:, 0]).astype(
+                    np.uint64) << np.uint64(b)
+            out[nz] = sh
+        return pd.Series(out.view(np.int64))
+
+    _UDF_MEMO["simhash_votes"] = votes
+    return votes
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """(id, sh): 64-bit simhash, fully JVM-side — no Python in the path.
+    """(id, sh): 64-bit simhash — token hashing JVM-side, bit voting in one
+    Arrow-vectorized pass.
 
-    Bit-count form with 16-bit LANE PACKING. The round-2 shape was one
-    groupBy with 64 conditional-sum vote aggregates; >100 aggregate buffer
-    fields pushes HashAggregate out of whole-stage codegen and the
-    interpreted evaluator cost ~23 us/token (2.4 s for 108k tokens,
-    measured). This shape:
-
-      level 1 (hot, WSCG-sized, map-side partial agg preserved):
-        groupBy(id, chunk) with 17 buffer fields — token count n plus 16
-        longs p0..p15, where p_g packs the counts of bits {g, g+16, g+32,
-        g+48} into four 16-bit lanes. Chunk = token_pos >> 15 bounds any
-        group at 32768 tokens, so a lane can never overflow into its
-        neighbor.
-      level 2 (tiny, O(docs x chunks) rows):
-        sum n and the 64 unpacked lane counts per id.
-
-    Bit b of the hash is set iff strictly more tokens have bit b set than
-    clear (2*c_b > n) — identical to the +-1 vote form, so signatures are
-    bit-for-bit unchanged (pytest XXH64 oracle + driver VALUES oracle).
-    Docs with zero tokens (explode_outer null) get sh=0.
+    The round-5 shape exploded every token and vote-counted through a
+    two-level lane-packed aggregation: one Generate of |tokens| rows plus
+    TWO shuffle exchanges (groupBy(id, chunk), then groupBy(id)) per
+    signature build. But the vote is a per-document pure function of the
+    token-hash multiset, so no shuffle is fundamentally required (guide
+    §1.1): tokens are hashed natively (transform + xxhash64 — verified
+    element-identical to exploded xxhash64), and the only Python crossing
+    is 8 bytes per token one way, 8 bytes per doc back. Bit b of the hash
+    is set iff strictly more tokens have bit b set than clear (2*c_b > n),
+    identical to the vote-aggregation form — signatures are bit-for-bit
+    unchanged (pytest XXH64 oracle + driver VALUES oracle). Docs with zero
+    tokens (incl. NULL text) get sh=0, as before.
     """
-    # materialize the token hash ONCE before the aggregate (referencing the
-    # xxhash64 expression inside each packed sum would re-evaluate it per
-    # lane-group — the same re-evaluation trap the round-1 code hit)
-    tok = df.select(
+    hashes = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+    return df.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(_tokens(text_col)).alias("pos", "tok"),
-    ).select(
-        "id",
-        F.shiftright(F.coalesce(F.col("pos"), F.lit(0)), 15).alias("_chunk"),
-        # xxhash64(NULL) is the seed, not NULL: keep empty docs' null marker
-        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
+        # NULL text -> NULL token array -> empty hash list -> sh=0, matching
+        # the explode_outer null-marker path this replaces
+        _simhash_votes_udf()(F.coalesce(
+            hashes, F.array().cast("array<long>"))).alias("sh"),
     )
-
-    def bit(b):
-        return F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))
-
-    packed = []
-    for g in range(16):
-        e = bit(g)
-        for j in range(1, 4):
-            e = e + F.shiftleft(bit(g + 16 * j), 16 * j)
-        packed.append(F.sum(e).alias(f"p{g}"))
-    level1 = tok.groupBy("id", "_chunk").agg(
-        F.count("h").alias("n"), *packed)
-
-    lane_sums = [
-        F.sum(F.shiftrightunsigned(f"p{g}", 16 * j)
-              .bitwiseAND(F.lit(0xFFFF))).alias(f"c{g + 16 * j}")
-        for j in range(4) for g in range(16)
-    ]
-    level2 = level1.groupBy("id").agg(F.sum("n").alias("n"), *lane_sums)
-
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp.bitwiseOR(
-            F.when(2 * F.col(f"c{b}") > F.col("n"),
-                   F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return level2.select("id", fp.alias("sh"))
 
 
 def hamming_band_pairs(sig: DataFrame, id_col: str = "id",

@@ -50,6 +50,22 @@ def with_cosine(df: DataFrame, a: str = "emb_a", b: str = "emb_b",
     )
 
 
+# cosine_topk collects the query vectors into the scoring closure; above
+# this cap it falls back to the join-based plan so the collect stays
+# bounded at any query-set size (policy: no unbounded driver traffic)
+BRUTE_QUERY_CAP = 1024
+
+
+def _seq_sq_norms(M: np.ndarray) -> np.ndarray:
+    """sqrt of the SEQUENTIAL left-fold of x*x over each row — the exact
+    operation order of the native _norm expression (acc + x*x, dim by
+    dim), vectorized across rows. Bit-identical to the JVM fold."""
+    acc = np.zeros(len(M), dtype=np.float64)
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -60,7 +76,94 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (brute force baseline).
 
     (query_id, neighbor_id, cosine, rank); self-matches excluded.
-    """
+
+    Round-6 shape: the query vectors (bounded: <= BRUTE_QUERY_CAP, else
+    the join fallback below) are collected into ONE mapInPandas pass over
+    the corpus that scores every (query, neighbor) pair numpy-vectorized
+    and emits only each partition's per-query top-k — the exact partial
+    top-k: the global top-k is the top-k of the union of per-partition
+    top-ks under the same (cosine desc, neighbor_id asc) order, and all
+    arithmetic preserves the native expressions' sequential fold order
+    dim by dim (see _seq_sq_norms), so every cosine is bit-identical to
+    the crossJoin+aggregate plan it replaces. The final window then ranks
+    <= partitions x |Q| x k rows instead of |Q| x |corpus| — the round-5
+    plan shipped every scored pair through the rank exchange and paid an
+    interpreted zip_with/aggregate fold per pair (guide §4.2: batch the
+    custom math, keep Spark for distribution)."""
+    q_rows = queries.select(id_col, vec_col).limit(
+        BRUTE_QUERY_CAP + 1).collect()
+    if len(q_rows) > BRUTE_QUERY_CAP:
+        return _cosine_topk_join(embeddings, queries, k, id_col, vec_col)
+    q_rows.sort(key=lambda r: r[0])
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = _seq_sq_norms(Q)
+    m = len(q_ids)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        ids_parts, cos_parts = [], []
+        for pdf in batches:
+            if pdf[vec_col].isna().any():
+                pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nn = _seq_sq_norms(M)
+            cos = np.empty((m, len(ids)), dtype=np.float64)
+            for qi in range(m):
+                acc = np.zeros(len(ids), dtype=np.float64)
+                for j in range(M.shape[1]):       # sequential-fold dot
+                    acc += M[:, j] * Q[qi, j]
+                cos[qi] = acc / (qn[qi] * nn)
+            ids_parts.append(ids)
+            cos_parts.append(cos)
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        cos = np.concatenate(cos_parts, axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(m):
+            mask = ids != q_ids[qi]               # self-match excluded
+            nid, c = ids[mask], cos[qi][mask]
+            # cosine desc, id asc; NaN maps to -inf on the NEGATED key so
+            # it sorts FIRST, matching Spark's NaN-is-greatest desc order
+            key = np.where(np.isnan(c), -np.inf, -c)
+            order = np.lexsort((nid, key))[:k]
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_n.append(nid[order])
+            out_c.append(c[order])
+        yield pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cosine": np.concatenate(out_c),
+        })
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _cosine_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Join-based brute force (the round-5 plan): used when the query set
+    exceeds BRUTE_QUERY_CAP. Same results, all-JVM scoring."""
     # norms are precomputed per VECTOR below the join (guide §2.3 "don't
     # recompute per pair what is per-row"): the fold that produces each
     # norm is unchanged, so cosine values are bit-identical — previously
@@ -89,6 +192,36 @@ def cosine_topk(
         .select("query_id", "neighbor_id",
                 F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+_UDF_MEMO: dict = {}
+
+
+def _pair_cosine_udf():
+    """Arrow-batched cosine over (query_vec, neighbor_vec) pair rows:
+    sequential-fold dot and norms (dim by dim, the exact operation order
+    of the native _dot/_norm expressions — see _seq_sq_norms), then
+    dot / (qn * nn). Bit-identical to the zip_with/aggregate scoring it
+    replaces; vectorized across the batch instead of an interpreted fold
+    per pair. Memoized so repeated pipeline builds share one PythonUDF
+    (plan/cache identity)."""
+    if "pair_cosine" in _UDF_MEMO:
+        return _UDF_MEMO["pair_cosine"]
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_cosine(qv: pd.Series, nv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(qv.to_numpy()).astype(np.float64)
+        B = np.stack(nv.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(A), dtype=np.float64)
+        for j in range(A.shape[1]):               # sequential-fold dot
+            dot += A[:, j] * B[:, j]
+        return pd.Series(dot / (_seq_sq_norms(A) * _seq_sq_norms(B)))
+
+    _UDF_MEMO["pair_cosine"] = pair_cosine
+    return pair_cosine
 
 
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 11):
@@ -175,23 +308,21 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # per-vector norms computed below the candidate join (same fold, same
-    # values — see cosine_topk): a candidate id appearing in many pairs no
-    # longer re-folds its norm per pair. The candidate set is BROADCAST:
-    # it is (query_id, neighbor_id) longs bounded by |queries| x bucket
-    # collisions, while the neighbor side carries the full embedding
-    # payload — the default plan shuffled+sorted every corpus vector to
-    # meet a few thousand candidate keys (SortMergeJoin in the r06
-    # baseline plan); broadcasting the keys streams the vectors in place.
+    # The candidate set is BROADCAST: it is (query_id, neighbor_id) longs
+    # bounded by |queries| x bucket collisions, while the neighbor side
+    # carries the full embedding payload — the default plan shuffled+sorted
+    # every corpus vector to meet a few thousand candidate keys
+    # (SortMergeJoin in the r06 baseline plan); broadcasting the keys
+    # streams the vectors in place. Rerank scoring is one Arrow-vectorized
+    # pass over the candidate rows (_pair_cosine_udf: sequential-fold dot
+    # and norms, bit-identical to the interpreted zip_with/aggregate fold
+    # the round-5 plan evaluated per pair — at dim 512 that fold WAS the
+    # rerank cost once the join stopped shuffling the corpus).
     scored = (
         F.broadcast(cand)
-        .join(n.withColumn("_nn", _norm(F.col("nv"))), "neighbor_id")
-        .join(F.broadcast(q.withColumn("_qn", _norm(F.col("qv")))),
-              "query_id")  # queries are the small side
-        .withColumn(
-            "cosine", _dot(F.col("qv"), F.col("nv"))
-            / (F.col("_qn") * F.col("_nn")),
-        )
+        .join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")  # queries are the small side
+        .withColumn("cosine", _pair_cosine_udf()(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -296,28 +427,28 @@ def ann_ivf_topk(
 
         return nearest
 
-    # per-vector norms precomputed below the probe join (same fold, same
-    # values — see cosine_topk); they ride through the distinct as
-    # deterministic functions of the vectors, so the pair set is unchanged
+    # the round-5 shape carried per-vector norm columns through the
+    # distinct; they are deterministic functions of the vectors, so
+    # dropping them leaves the distinct pair set unchanged — scoring is
+    # now one Arrow pass over the distinct candidates (_pair_cosine_udf:
+    # sequential-fold dot/norms, bit-identical cosines)
     listed = base.withColumn(
         "list_id", F.element_at(nearest_lists_udf(1)(F.col("nv")), 1)
-    ).withColumn("_nn", _norm(F.col("nv")))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("_qn", _norm(F.col("qv"))).withColumn(
+    ).withColumn(
         "list_id", F.explode(nearest_lists_udf(n_probe)(F.col("qv"))),
     )
     cand = (
         q.join(listed, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "_qn", "neighbor_id", "nv", "_nn")
+        .select("query_id", "qv", "neighbor_id", "nv")
         .distinct()
     )
     scored = cand.withColumn(
-        "cosine", _dot(F.col("qv"), F.col("nv"))
-        / (F.col("_qn") * F.col("_nn")),
-    )
+        "cosine", _pair_cosine_udf()(F.col("qv"), F.col("nv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -357,19 +488,14 @@ def embedding_neardup(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    # per-vector norms below the candidate joins (same fold, same values —
-    # see cosine_topk): ids in many candidate pairs fold their norm once
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                  _norm(F.col("v")).alias("_na"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                  _norm(F.col("v")).alias("_nb"))
+    # scoring is one Arrow-vectorized pass over the candidate pair rows
+    # (_pair_cosine_udf: sequential-fold dot/norms, bit-identical values)
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn(
-            "cosine",
-            _dot(F.col("va"), F.col("vb"))
-            / (F.col("_na") * F.col("_nb")),
-        )
+        .withColumn("cosine",
+                    _pair_cosine_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

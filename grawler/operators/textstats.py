@@ -47,12 +47,12 @@ def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Word tokens, whitespace tokens, and a BPE-ish subword estimate
     (ceil(chars/4) blended with word count — deterministic arithmetic)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     chars = F.length(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_words"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(WORD_RE))
+        .alias("n_words"),
         ws.alias("n_ws_tokens"),
         chars.alias("n_chars"),
         F.ceil(chars / F.lit(4)).cast("long").alias("n_bpe_est"),
@@ -63,13 +63,17 @@ def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality in [0,1]: penalize too-short/too-long,
     high punctuation density, low stopword ratio, heavy repetition."""
+    # counts use regexp_count (same value as size(regexp_extract_all(...)),
+    # NULL-for-NULL alike — parity-tested) so no match ARRAY is materialized
+    # just to be counted (guide §1.2 per-task work); the words array is only
+    # built where the distinct-set size genuinely needs it
     t = F.col(text_col)
     chars = F.length(t)
     words = F.regexp_extract_all(F.lower(t), F.lit(WORD_RE), 0)
-    n_words = F.size(words)
+    n_words = F.regexp_count(F.lower(t), F.lit(WORD_RE))
     n_distinct = F.size(F.array_distinct(words))
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(STOPWORDS_RE), 0))
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?]"))
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORDS_RE))
     len_score = F.least(chars / F.lit(200.0), F.lit(1.0)) * F.when(
         chars > 10000, F.lit(0.5)
     ).otherwise(F.lit(1.0))
@@ -94,8 +98,10 @@ def langid(df: DataFrame, text_col: str = "text",
     """Deterministic marker-word language ID; argmax with fixed tie-break
     (lexicographic by language code), 'und' when no markers hit."""
     t = F.lower(F.col(text_col))
+    # regexp_count: same value as size(regexp_extract_all(...)) without
+    # materializing a match array per language just to take its size
     scores = {
-        lang: F.size(F.regexp_extract_all(t, F.lit(rx), 0))
+        lang: F.regexp_count(t, F.lit(rx))
         for lang, rx in LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
